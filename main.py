@@ -1,0 +1,78 @@
+"""Launcher: compose the config, dispatch on exp_type, run the experiment.
+
+TPU-native counterpart of the reference ``main.py``: no per-GPU process spawn
+and no NCCL process-group lifecycle — XLA owns all local devices and every
+jitted program is SPMD-partitioned over the mesh. For multi-host TPU slices,
+set ``distributed=true`` to call ``jax.distributed.initialize()`` (same code
+path; the runtime routes collectives over ICI/DCN).
+
+Usage (same CLI surface as the reference, minus hydra internals):
+    python main.py -cn calochallenge/cfm/calochallenge_ds2 exp_name=my_exp
+    python main.py -cp runs/MyExp/run_00001 -cn config warm_start_idx=0
+"""
+
+from __future__ import annotations
+
+import sys
+
+from vit4hep_tpu.utils.config import compose_from_cli
+from vit4hep_tpu.utils.logger import LOGGER
+
+
+def get_experiment(exp_type: str):
+    if exp_type == "calochallenge":
+        from vit4hep_tpu.experiments.calochallenge import CaloChallenge
+
+        return CaloChallenge
+    if exp_type == "calochallenge_finetuning":
+        from vit4hep_tpu.experiments.calochallenge_finetuning import CaloChallengeFTCFM
+
+        return CaloChallengeFTCFM
+    if exp_type == "calochallenge_finetuning_fromlem":
+        from vit4hep_tpu.experiments.calochallenge_finetuning import CaloChallengeFT_fromLEM
+
+        return CaloChallengeFT_fromLEM
+    if exp_type == "calogan":
+        from vit4hep_tpu.experiments.calogan import CaloGAN
+
+        return CaloGAN
+    if exp_type == "calogan_finetuning":
+        from vit4hep_tpu.experiments.calogan_finetuning import CaloGANFTCFM
+
+        return CaloGANFTCFM
+    if exp_type == "lemurs":
+        from vit4hep_tpu.experiments.lemurs import LEMURS
+
+        return LEMURS
+    if exp_type == "calohadronic":
+        from vit4hep_tpu.experiments.calohadronic import CaloHadronic
+
+        return CaloHadronic
+    if exp_type == "calohadronic_finetuning":
+        from vit4hep_tpu.experiments.calohadronic_finetuning import CaloHadronicFT
+
+        return CaloHadronicFT
+    raise ValueError(f"exp_type {exp_type} not implemented")
+
+
+def main(argv=None):
+    cfg = compose_from_cli(sys.argv[1:] if argv is None else argv)
+
+    if cfg.get("use_float64", False):
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    if cfg.get("distributed", False):
+        import jax
+
+        jax.distributed.initialize()
+
+    exp_cls = get_experiment(cfg.exp_type)
+    experiment = exp_cls(cfg)
+    experiment()
+    LOGGER.info("Run finished")
+
+
+if __name__ == "__main__":
+    main()

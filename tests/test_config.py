@@ -1,0 +1,107 @@
+"""Config system: hydra-style composition, interpolation, overrides, instantiate."""
+
+import pytest
+
+from vit4hep_tpu.utils.config import (
+    Config,
+    MissingMandatoryValue,
+    apply_overrides,
+    compose,
+    instantiate,
+)
+
+
+def _write(path, text):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(text)
+
+
+@pytest.fixture
+def config_tree(tmp_path):
+    root = tmp_path / "configs"
+    _write(root / "default.yaml", "exp_name: ???\nbase_dir: .\nsave: true\nlr_root: 1\n")
+    _write(
+        root / "training" / "default.yaml",
+        "iterations: 50000\nbatchsize: 128\noptimizer: AdamW\n",
+    )
+    _write(
+        root / "training" / "cfm" / "shape.yaml",
+        "iterations: 800000\nbatchsize: 64\n\ndefaults:\n - default\n",
+    )
+    _write(
+        root / "model" / "toy.yaml",
+        "_target_: collections.OrderedDict\nnet:\n  hidden: 32\n",
+    )
+    _write(
+        root / "exp.yaml",
+        "exp_name: myexp\nrundir: '${base_dir}/runs/${exp_name}'\n"
+        "defaults:\n - /default\n - /training: cfm/shape\n - /model: toy\n",
+    )
+    return root
+
+
+def test_defaults_composition(config_tree):
+    cfg = compose(str(config_tree), "exp")
+    # own content overrides /default (implicit _self_ last)
+    assert cfg.exp_name == "myexp"
+    assert cfg.save is True
+    # group default merged under 'training'; child overrides its own group default
+    assert cfg.training.iterations == 800000
+    assert cfg.training.batchsize == 64
+    assert cfg.training.optimizer == "AdamW"
+    assert cfg.model.net.hidden == 32
+
+
+def test_interpolation(config_tree):
+    cfg = compose(str(config_tree), "exp")
+    assert cfg.rundir == "./runs/myexp"
+
+
+def test_missing_mandatory(config_tree):
+    cfg = compose(str(config_tree), "default")
+    with pytest.raises(MissingMandatoryValue):
+        _ = cfg.exp_name
+
+
+def test_overrides(config_tree):
+    cfg = compose(
+        str(config_tree), "exp", overrides=["training.lr=1e-4", "exp_name=other", "seed=42"]
+    )
+    assert cfg.training.lr == 1e-4
+    assert cfg.exp_name == "other"
+    assert cfg.seed == 42
+
+
+def test_yaml_roundtrip(config_tree):
+    cfg = compose(str(config_tree), "exp")
+    text = cfg.to_yaml()
+    cfg2 = Config(__import__("yaml").safe_load(text))
+    assert cfg2.training.iterations == 800000
+
+
+def test_instantiate_remap():
+    cfg = Config(
+        {
+            "_target_": "models.base_model.CFM",
+            "shape": [45],
+            "odeint_kwargs": {"method": "rk4", "options": {"step_size": 0.25}},
+            "net": {
+                "_target_": "nn.cfm.transformer_cfm.ParallelTransformer",
+                "param": {"dims_in": 45, "dims_c": 1, "dim_embedding": 64, "embeds": True},
+            },
+        }
+    )
+    model = instantiate(cfg)
+    from vit4hep_tpu.models.cfm import CFM
+
+    assert isinstance(model, CFM)
+    assert model.shape == (45,)
+    assert model.ode_kwargs == {"method": "rk4", "step_size": 0.25}
+    assert model.net.cfg.dims_in == 45
+
+
+def test_apply_overrides_nested_creation():
+    cfg = Config({"a": 1})
+    apply_overrides(cfg, ["b.c.d=hello", "a=2"])
+    assert cfg.b.c.d == "hello"
+    assert cfg.a == 2

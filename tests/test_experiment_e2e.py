@@ -1,0 +1,154 @@
+"""End-to-end lifecycle on 8 virtual devices: config -> train -> checkpoint ->
+sample -> warm-start resume. Uses a tiny CFM energy model on synthetic showers
+(the CPU-runnable slice named in SURVEY.md section 7 step 2)."""
+
+import numpy as np
+import pytest
+
+from vit4hep_tpu.experiments.calochallenge import CaloChallenge
+from vit4hep_tpu.utils.config import Config
+
+
+def make_cfg(tmp_path, shower_file, geometry, iterations=40):
+    n_layers = geometry["n_layers"]
+    return Config(
+        {
+            "exp_name": "TestE2E",
+            "exp_type": "calochallenge",
+            "run_name": "run_e2e",
+            "base_dir": str(tmp_path),
+            "jobid": None,
+            "seed": 7,
+            "debug": False,
+            "dtype": "float32",
+            "warm_start_idx": None,
+            "save": True,
+            "use_mlflow": True,
+            "save_source": False,
+            "ema": True,
+            "train": True,
+            "evaluate": True,
+            "plot": False,
+            "load_sample": False,
+            "finetuning": False,
+            "model_type": "energy",
+            "sample_us": False,
+            "n_samples": 300,
+            "data": {
+                "training_file": shower_file,
+                "test_file": shower_file,
+                "particle_type": geometry["particle"],
+                "xml_filename": geometry["xml"],
+                "train_val_frac": [0.8, 0.2],
+                "transforms": {
+                    "NormalizeByElayer": {"ptype": geometry["xml"], "xml_file": "electron"},
+                    "ScaleTotalEnergy": {"factor": 0.35, "n_layers": n_layers},
+                    "SelectDims": {"start": -n_layers, "end": 0},
+                    "ExclusiveLogitTransform": {"delta": 1.0e-6, "rescale": True},
+                    "StandardizeUsFromFile": {"n_us": n_layers, "model_dir": None},
+                    "LogEnergy": {},
+                    "ScaleEnergy": {"e_min": 6.907755, "e_max": 13.815510},
+                    "Reshape": {"shape": [n_layers]},
+                },
+            },
+            "training": {
+                "iterations": iterations,
+                "batchsize": 64,
+                "batchsize_sample": 128,
+                "optimizer": "AdamW",
+                "betas": [0.9, 0.999],
+                "eps": 1e-8,
+                "weight_decay": 0.01,
+                "lr": 1e-3,
+                "scheduler": "CosineAnnealingLR",
+                "scheduler_scale": 1,
+                "cosanneal_eta_min": 0,
+                "es_patience": 1000,
+                "es_load_best_model": False,
+                "log_every_n_steps": 10,
+                "validate_every_n_steps": 20,
+                "clip_grad_norm": 1000,
+                "clip_grad_value": None,
+                "max_grad_norm": None,
+                "ema_decay": 0.999,
+            },
+            "evaluation": {"eval_dataset": "2", "batchsize": 128},
+            "model": {
+                "_target_": "models.base_model.CFM",
+                "shape": [n_layers],
+                "time_distribution": "uniform",
+                "trajectory": "linear",
+                "odeint_kwargs": {"method": "rk4", "options": {"step_size": 0.1}},
+                "net": {
+                    "_target_": "nn.cfm.transformer_cfm.ParallelTransformer",
+                    "param": {
+                        "dims_in": n_layers,
+                        "dims_c": 1,
+                        "dim_embedding": 16,
+                        "nhead": 2,
+                        "num_encoder_layers": 1,
+                        "num_decoder_layers": 1,
+                        "dim_feedforward": 32,
+                        "embeds": True,
+                        "encode_t_dim": 16,
+                    },
+                },
+            },
+        }
+    )
+
+
+@pytest.fixture
+def trained_exp(tmp_path, shower_file, geometry):
+    cfg = make_cfg(tmp_path, shower_file, geometry)
+    exp = CaloChallenge(cfg)
+    exp()
+    return exp
+
+
+def test_full_lifecycle(trained_exp, tmp_path):
+    exp = trained_exp
+    run_dir = tmp_path / "runs" / "TestE2E" / "run_e2e"
+    assert (run_dir / "config.yaml").exists()
+    assert (run_dir / "models" / "model_run0").exists()
+    # metrics landed in the JSONL tracker
+    tracker_files = list((tmp_path / "runs" / "TestE2E" / "tracking").glob("*.jsonl"))
+    assert tracker_files
+    # loss finite, training ran, validation recorded
+    assert len(exp.train_loss) > 0
+    assert all(np.isfinite(v) for v in exp.train_loss)
+    assert len(exp.val_loss) >= 2
+    assert int(exp.state.step) == 40
+    # EMA params exist and differ from raw params
+    assert exp.state.ema_params is not None
+
+
+def test_sampling(trained_exp):
+    exp = trained_exp
+    samples, conds = exp.sample_n()
+    assert samples.shape == (300, 5)
+    assert conds.shape == (300, 1)
+    assert np.all(np.isfinite(samples))
+
+
+def test_warm_start_resume(trained_exp, tmp_path, shower_file, geometry):
+    cfg2 = make_cfg(tmp_path, shower_file, geometry, iterations=10)
+    cfg2.warm_start_idx = 0
+    cfg2.run_idx = 0
+    cfg2.run_dir = str(tmp_path / "runs" / "TestE2E" / "run_e2e")
+    exp2 = CaloChallenge(cfg2)
+    exp2()
+    # resumed from step 40, ran 10 more
+    assert int(exp2.state.step) == 50
+    assert (tmp_path / "runs" / "TestE2E" / "run_e2e" / "models" / "model_run1").exists()
+
+
+def test_loss_decreases(tmp_path, shower_file, geometry):
+    cfg = make_cfg(tmp_path, shower_file, geometry, iterations=150)
+    cfg.run_name = "run_lossdec"
+    cfg.use_mlflow = False
+    exp = CaloChallenge(cfg)
+    exp()
+    first = np.mean(exp.train_loss[:10])
+    last = np.mean(exp.train_loss[-10:])
+    assert last < first, f"loss did not decrease: {first} -> {last}"

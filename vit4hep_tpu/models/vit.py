@@ -1,0 +1,321 @@
+"""DiT-style Vision Transformer backbone (Flax), TPU-first.
+
+Functional re-design of the reference ViT/ViT1D (`/root/reference/nn/vit.py`):
+same architecture family — voxel-patch tokens, adaLN-Zero conditioning, learnable
+Fourier or fixed sin-cos positional embeddings, optional layer-causal attention
+mask, per-block gradient checkpointing — but built as pure Flax modules whose
+forward is a single XLA program. Attention dispatches to the Pallas
+flash-attention kernel or plain XLA (vit4hep_tpu/ops/attention.py) instead of
+torch SDPA / xformers.
+
+Config surface parity: both ``ViT(param)`` and ``ViT1D(param)`` accept the exact
+``param`` dict the reference YAMLs ship (configs/model/cfm/*.yaml) — unknown keys
+are ignored, ``num_patches`` may be flat ``[L, A, R]`` or per-section
+``[[L, A, R], ...]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from vit4hep_tpu.ops import pos_embed as pe_ops
+from vit4hep_tpu.ops.attention import dot_product_attention
+
+xavier = nn.initializers.xavier_uniform()
+zeros = nn.initializers.zeros
+
+
+def _normalize_num_patches(num_patches) -> tuple[tuple[int, int, int], ...]:
+    num_patches = list(num_patches)
+    if len(num_patches) > 0 and isinstance(num_patches[0], int):
+        return (tuple(num_patches),)
+    return tuple(tuple(sec) for sec in num_patches)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTParams:
+    """Static architecture configuration (hashable, so modules stay pytree-safe).
+
+    Field names and defaults track the reference's defaults dict
+    (nn/vit.py:52-70) so that `param` dicts from its configs load unchanged.
+    """
+
+    dim: int = 3
+    condition_dim: int = 46
+    hidden_dim: int = 180
+    out_channels: int = 1
+    depth: int = 2
+    num_heads: int = 4
+    mlp_ratio: float = 2.0
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    pos_embedding_coords: str = "cartesian"
+    temperature: int = 10000
+    learn_pos_embed: bool = True
+    causal_attn: bool = False
+    checkpoint_grads: bool = False
+    patch_dim: int = 12
+    num_patches: tuple = ((15, 4, 9),)
+    # ViT1D extras (nn/vit.py:221-229)
+    prod_num_patches: int = 15 * 4 * 9
+    x_out: int | None = None
+    # TPU-specific: attention implementation ("auto" | "flash" | "xla")
+    attn_impl: str = "auto"
+    compute_dtype: str = "float32"
+
+    @classmethod
+    def create(cls, param: dict) -> "ViTParams":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in dict(param).items() if k in known}
+        # accepted-but-ignored reference knobs: use_torch_sdpa, use_rotary_emb,
+        # temperature-less keys etc. are filtered above.
+        if "num_patches" in kwargs:
+            kwargs["num_patches"] = _normalize_num_patches(kwargs["num_patches"])
+        if "mlp_ratio" in kwargs:
+            kwargs["mlp_ratio"] = float(kwargs["mlp_ratio"])
+        return cls(**kwargs)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype in ("bfloat16", "bf16") else jnp.float32
+
+    @property
+    def total_patches(self) -> int:
+        return sum(int(np.prod(s)) for s in self.num_patches)
+
+
+def modulate(x, shift, scale):
+    """adaLN modulation (reference nn/vit.py:457-458)."""
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+class MlpBlock(nn.Module):
+    hidden: int
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, kernel_init=xavier, bias_init=zeros, dtype=self.dtype)(x)
+        x = nn.gelu(x, approximate=True)
+        x = nn.Dense(self.out, kernel_init=xavier, bias_init=zeros, dtype=self.dtype)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Fused MHSA; replaces reference nn/vit.py:397-454."""
+
+    hidden: int
+    num_heads: int
+    attn_impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, n, c = x.shape
+        head_dim = self.hidden // self.num_heads
+        qkv = nn.Dense(
+            3 * self.hidden, use_bias=True, kernel_init=xavier, bias_init=zeros,
+            dtype=self.dtype,
+        )(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))  # (B,H,N,D)
+        out = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
+        return nn.Dense(self.hidden, kernel_init=xavier, bias_init=zeros, dtype=self.dtype)(out)
+
+
+class DiTBlock(nn.Module):
+    """adaLN-Zero transformer block (reference nn/vit.py:302-333)."""
+
+    hidden: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    attn_impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c, mask=None):
+        mod = nn.Dense(
+            6 * self.hidden, kernel_init=zeros, bias_init=zeros, dtype=self.dtype,
+            name="adaLN_modulation",
+        )(nn.silu(c))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
+        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)
+        attn = Attention(
+            self.hidden, self.num_heads, attn_impl=self.attn_impl, dtype=self.dtype
+        )
+        mlp = MlpBlock(int(self.hidden * self.mlp_ratio), self.hidden, dtype=self.dtype)
+        x = x + gate_msa[:, None, :] * attn(modulate(norm(x), shift_msa, scale_msa), mask)
+        x = x + gate_mlp[:, None, :] * mlp(modulate(norm(x), shift_mlp, scale_mlp))
+        return x
+
+
+class FinalLayer(nn.Module):
+    """adaLN + zero-init output projection (reference nn/vit.py:336-351)."""
+
+    hidden: int
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        mod = nn.Dense(
+            2 * self.hidden, kernel_init=zeros, bias_init=zeros, dtype=self.dtype,
+            name="adaLN_modulation",
+        )(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = modulate(
+            nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)(x),
+            shift, scale,
+        )
+        return nn.Dense(self.out_dim, kernel_init=zeros, bias_init=zeros, dtype=self.dtype)(x)
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal frequency embedding -> MLP (reference nn/vit.py:354-394)."""
+
+    hidden: int
+    freq_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        t_freq = pe_ops.timestep_embedding(t, self.freq_dim).astype(self.dtype)
+        t_emb = nn.Dense(self.hidden, kernel_init=xavier, bias_init=zeros, dtype=self.dtype)(t_freq)
+        t_emb = nn.silu(t_emb)
+        return nn.Dense(self.hidden, kernel_init=xavier, bias_init=zeros, dtype=self.dtype)(t_emb)
+
+
+class ConditionEmbedder(nn.Module):
+    hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c):
+        c = nn.Dense(self.hidden, kernel_init=xavier, bias_init=zeros, dtype=self.dtype)(c)
+        c = nn.silu(c)
+        return nn.Dense(self.hidden, kernel_init=xavier, bias_init=zeros, dtype=self.dtype)(c)
+
+
+class _ViTBase(nn.Module):
+    cfg: ViTParams
+
+    def _pos_embedding_3d(self):
+        p = self.cfg
+        if p.learn_pos_embed:
+            freqs = self.param(
+                "pos_embed_freqs", nn.initializers.normal(1.0), (p.hidden_dim // 6,)
+            )
+            pos_z, pos_y, pos_x = pe_ops.create_meshgrid(p.num_patches)
+            return pe_ops.learnable_fourier_pos_embed_3d(
+                freqs, jnp.asarray(pos_z), jnp.asarray(pos_y), jnp.asarray(pos_x)
+            )
+        return jnp.asarray(
+            pe_ops.get_sincos_pos_embed(
+                p.pos_embedding_coords, p.num_patches[0], p.hidden_dim, p.dim, p.temperature
+            )
+        )
+
+    def _attn_mask(self):
+        p = self.cfg
+        if not p.causal_attn:
+            return None
+        assert p.dim == 3, "A layer-causal attention mask should only be used in 3d"
+        return jnp.asarray(pe_ops.layer_causal_mask(p.num_patches[0]))
+
+    def _blocks(self, x, c, mask):
+        p = self.cfg
+        block_cls = DiTBlock
+        if p.checkpoint_grads:
+            block_cls = nn.remat(DiTBlock, static_argnums=())
+        for i in range(p.depth):
+            x = block_cls(
+                p.hidden_dim, p.num_heads, mlp_ratio=p.mlp_ratio,
+                attn_impl=p.attn_impl, dtype=p.dtype, name=f"block_{i}",
+            )(x, c, mask)
+        return x
+
+
+class ViTNet(_ViTBase):
+    """3-D voxel-patch DiT predicting the CFM velocity per patch.
+
+    __call__(x, t, c): x (B, T, patch_dim), t (B,) or (B, 1), c (B, condition_dim)
+    -> (B, T, out_channels * patch_dim).
+    """
+
+    @nn.compact
+    def __call__(self, x, t, c):
+        p = self.cfg
+        dt = p.dtype
+        x = nn.Dense(
+            p.hidden_dim, kernel_init=xavier, bias_init=zeros, dtype=dt, name="x_embedder"
+        )(x.astype(dt))
+        x = x + self._pos_embedding_3d().astype(dt)
+
+        t_emb = TimestepEmbedder(p.hidden_dim, dtype=dt, name="t_embedder")(t)
+        c_emb = ConditionEmbedder(p.hidden_dim, dtype=dt, name="c_embedder")(c.astype(dt))
+        cond = t_emb + c_emb
+
+        x = self._blocks(x, cond, self._attn_mask())
+        out = FinalLayer(
+            p.hidden_dim, p.out_channels * 1 * p.patch_dim, dtype=dt, name="final_layer"
+        )(x, cond)
+        return out.astype(jnp.float32)
+
+
+class ViT1DNet(_ViTBase):
+    """ViT with 1-D positional embedding and no time input; the coupling-subnet
+    backbone of the cINN stack (reference nn/vit.py:209-299).
+
+    __call__(x, c): x (B, T, patch_dim), c (B, condition_dim)
+    -> (B, T, out_channels * x_out * patch_dim).
+    """
+
+    @nn.compact
+    def __call__(self, x, c):
+        p = self.cfg
+        dt = p.dtype
+        x = nn.Dense(
+            p.hidden_dim, kernel_init=xavier, bias_init=zeros, dtype=dt, name="x_embedder"
+        )(x.astype(dt))
+        if p.learn_pos_embed:
+            freqs = self.param(
+                "pos_embed_freqs", nn.initializers.normal(1.0), (p.hidden_dim // 2,)
+            )
+            grid = jnp.arange(p.prod_num_patches) / p.prod_num_patches
+            pos = pe_ops.learnable_fourier_pos_embed_1d(freqs, grid)
+        else:
+            pos = jnp.asarray(
+                pe_ops.get_sincos_pos_embed(
+                    p.pos_embedding_coords, p.num_patches[0], p.hidden_dim, p.dim, p.temperature
+                )
+            )
+        x = x + pos.astype(dt)
+
+        cond = ConditionEmbedder(p.hidden_dim, dtype=dt, name="c_embedder")(c.astype(dt))
+        x = self._blocks(x, cond, self._attn_mask())
+        x_out = p.x_out if p.x_out is not None else 1
+        out = FinalLayer(
+            p.hidden_dim, p.out_channels * x_out * p.patch_dim, dtype=dt, name="final_layer"
+        )(x, cond)
+        return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# config-surface factories (what `_target_: nn.vit.ViT` resolves to)
+# ---------------------------------------------------------------------------
+def ViT(param: dict) -> ViTNet:
+    return ViTNet(cfg=ViTParams.create(param))
+
+
+def ViT1D(param: dict) -> ViT1DNet:
+    p = dict(param)
+    p.setdefault("prod_num_patches", int(math.prod(np.asarray(p.get("num_patches", [[15, 4, 9]])).ravel())))
+    return ViT1DNet(cfg=ViTParams.create(p))

@@ -1,0 +1,49 @@
+"""Multi-head attention dispatch: fused Pallas flash-attention or plain XLA.
+
+This replaces the reference's two native attention backends — torch SDPA
+(nn/vit.py:431-438) and xformers ``memory_efficient_attention`` (nn/vit.py:
+440-449) — with TPU-native equivalents:
+
+- ``impl="flash"``: block-wise online-softmax Pallas kernel
+  (vit4hep_tpu/ops/flash_attention.py), mask-capable, with a custom VJP.
+- ``impl="xla"``: einsum attention; at the shipped sequence lengths (88-606
+  tokens) XLA fuses this well and it serves as the reference implementation
+  for kernel tests.
+- ``impl="auto"``: picks flash when the shape is worth it, else XLA.
+
+All impls take q, k, v of shape (B, H, N, D) and an optional boolean mask
+(N, N) or (B, H, N, N), True = attend.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def xla_attention(q, k, v, mask=None):
+    dim = q.shape[-1]
+    scale = dim**-0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG_INF)
+    weights = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+
+
+def dot_product_attention(q, k, v, mask=None, impl="auto"):
+    """Scaled dot-product attention. q, k, v: (B, H, N, D)."""
+    if impl == "auto":
+        # flash pays off once the score matrix stops fitting comfortably in VMEM
+        # and there is enough parallel work; below that XLA's fused softmax wins.
+        n = q.shape[-2]
+        impl = "flash" if n >= 256 else "xla"
+    if impl == "xla":
+        return xla_attention(q, k, v, mask)
+    if impl == "flash":
+        from vit4hep_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask)
+    raise ValueError(f"Unknown attention impl '{impl}'")

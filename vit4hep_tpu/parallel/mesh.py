@@ -1,0 +1,69 @@
+"""Device mesh and sharding helpers — the TPU-native replacement for the
+reference's NCCL/DDP stack (``main.py:22-26``, ``base_experiment.py:161-167``).
+
+Instead of one process per accelerator with explicit process groups, a single
+process owns all local devices and SPMD-partitions every jitted program over a
+``jax.sharding.Mesh``. Gradient all-reduce is emitted by the XLA partitioner;
+there is no DDP analogue to manage.
+
+The mesh is 2-D (``data``, ``model``) from day one so tensor/sequence sharding
+can be added without API changes (SURVEY.md section 2.2); all shipped models use
+``model=1`` (pure data parallelism, matching the reference's capability).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(num_devices: int | None = None, model_parallel: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of host arrays on the mesh, batch-sharded along ``data``."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree (params, opt state) fully replicated on the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
+    """Per-device batch size for a data-sharded batch (reference splits
+    ``batchsize // world_size``, experiments/calochallenge/experiment.py:94-98)."""
+    n_data = mesh.shape[DATA_AXIS]
+    if global_batch % n_data != 0:
+        raise ValueError(f"batch {global_batch} not divisible by data axis {n_data}")
+    return global_batch // n_data

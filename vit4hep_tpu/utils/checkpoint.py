@@ -1,0 +1,49 @@
+"""Orbax-backed checkpointing with the reference's run-dir layout.
+
+The reference torch.saves {model, optimizer, scheduler, ema} to
+``runs/<exp>/<run>/models/model_run{idx}.pt`` (base_experiment.py:661-677).
+Here each checkpoint is an orbax directory ``models/model_run{idx}`` holding the
+full train-state pytree (params, opt_state, ema_params, step, lr_scale), which
+restores correctly under any mesh sharding.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from vit4hep_tpu.utils.logger import LOGGER
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, tree):
+    path = Path(path).resolve()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.fspath(path), _to_host(tree), force=True)
+    LOGGER.debug(f"Saved checkpoint at {path}")
+
+
+def load_checkpoint(path, target=None):
+    """Restore a pytree; ``target`` (a matching pytree of arrays) fixes leaf
+    types/shapes when provided."""
+    path = Path(path).resolve()
+    if not path.exists():
+        raise FileNotFoundError(f"Cannot load checkpoint from {path}")
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        template = jax.tree.map(lambda x: np.asarray(x), target)
+        try:
+            return ckptr.restore(os.fspath(path), item=template)
+        except TypeError:  # newer orbax: item= removed
+            return ckptr.restore(
+                os.fspath(path), args=ocp.args.PyTreeRestore(item=template)
+            )
+    return ckptr.restore(os.fspath(path))
