@@ -58,7 +58,21 @@ DS2_MODEL_CFG = {
 }
 
 
-def bench_jax() -> float:
+def _flops_per_shower() -> float:
+    """Rough matmul FLOPs of one ds2 shower: 80 net evals of a 480-wide,
+    depth-6 DiT over 135 tokens (12 H^2 MACs/token/block)."""
+    hidden, depth, tokens, evals = 480, 6, 135, 80
+    return 2 * 12 * hidden * hidden * tokens * depth * evals
+
+
+def bench_jax() -> tuple[float, float]:
+    """Returns (showers/sec, implied TFLOP/s).
+
+    Timing uses block_until_ready. On a healthy TPU attachment that is exact;
+    through a broken/async tunnel it can overreport, which the implied-TFLOPs
+    figure exposes (a v5e peaks at ~394 bf16 TFLOP/s — anything far above is
+    a timing artifact, not real throughput).
+    """
     import jax
 
     from vit4hep_tpu.utils.config import instantiate
@@ -77,7 +91,8 @@ def bench_jax() -> float:
         out = fn(params, cond, jax.random.fold_in(key, 1000 + i))
     out.block_until_ready()
     dt = time.perf_counter() - t0
-    return BATCH * N_ITERS / dt
+    rate = BATCH * N_ITERS / dt
+    return rate, rate * _flops_per_shower() / 1e12
 
 
 def bench_torch_cpu_baseline() -> float:
@@ -145,7 +160,7 @@ def bench_torch_cpu_baseline() -> float:
 
 
 def main():
-    value = bench_jax()
+    value, implied_tflops = bench_jax()
     baseline = bench_torch_cpu_baseline()
     vs = value / baseline if baseline == baseline else None  # NaN check
     print(json.dumps({
@@ -153,6 +168,8 @@ def main():
         "value": round(value, 2),
         "unit": "showers/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "implied_tflops": round(implied_tflops, 1),
+        "suspect_timing": bool(implied_tflops > 1000.0),
     }))
 
 

@@ -20,15 +20,18 @@ from vit4hep_tpu.utils.logger import LOGGER
 
 
 def get_experiment(exp_type: str):
+    # dispatch strings match the reference launcher (main.py:27-68); the
+    # "cmshgcal" branch there points at a module that does not exist in the
+    # reference either (SURVEY.md L1 note) and is intentionally not dispatched.
     if exp_type == "calochallenge":
         from vit4hep_tpu.experiments.calochallenge import CaloChallenge
 
         return CaloChallenge
-    if exp_type == "calochallenge_finetuning":
+    if exp_type == "calochallenge_ft_cfm":
         from vit4hep_tpu.experiments.calochallenge_finetuning import CaloChallengeFTCFM
 
         return CaloChallengeFTCFM
-    if exp_type == "calochallenge_finetuning_fromlem":
+    if exp_type == "calochallenge_ft_lem_cfm":
         from vit4hep_tpu.experiments.calochallenge_finetuning import CaloChallengeFT_fromLEM
 
         return CaloChallengeFT_fromLEM
@@ -36,7 +39,7 @@ def get_experiment(exp_type: str):
         from vit4hep_tpu.experiments.calogan import CaloGAN
 
         return CaloGAN
-    if exp_type == "calogan_finetuning":
+    if exp_type == "calogan_ft_cfm":
         from vit4hep_tpu.experiments.calogan_finetuning import CaloGANFTCFM
 
         return CaloGANFTCFM
@@ -48,7 +51,7 @@ def get_experiment(exp_type: str):
         from vit4hep_tpu.experiments.calohadronic import CaloHadronic
 
         return CaloHadronic
-    if exp_type == "calohadronic_finetuning":
+    if exp_type == "calohadronic_ft":
         from vit4hep_tpu.experiments.calohadronic_finetuning import CaloHadronicFT
 
         return CaloHadronicFT

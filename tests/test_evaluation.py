@@ -1,0 +1,179 @@
+"""Evaluation stack: HLF observables, ratio-panel plots, classifiers, FPD/KPD."""
+
+import numpy as np
+import pytest
+
+from vit4hep_tpu.evaluation.classifiers import (
+    ClassifierConfig,
+    DNN,
+    evaluate_classifier,
+    generate_model,
+    train_classifier,
+    ttv_split,
+)
+from vit4hep_tpu.evaluation.high_level_features import HighLevelFeatures
+from vit4hep_tpu.evaluation.metrics import fpd, frechet_distance, kpd
+
+
+@pytest.fixture
+def hlf(geometry):
+    return HighLevelFeatures(geometry["particle"], filename=geometry["xml"])
+
+
+def _showers(n, n_voxels, rng):
+    return rng.exponential(1.0, size=(n, n_voxels)) * (rng.random((n, n_voxels)) > 0.3)
+
+
+def test_hlf_layer_energies(hlf, geometry, rng):
+    data = _showers(128, geometry["n_voxels"], rng)
+    hlf.CalculateFeatures(data)
+    # total = sum of per-layer energies
+    total = sum(hlf.GetElayers()[k] for k in hlf.GetElayers())
+    np.testing.assert_allclose(hlf.GetEtot(), total, rtol=1e-6)
+    np.testing.assert_allclose(hlf.GetEtot(), data.sum(1), rtol=1e-6)
+
+
+def test_hlf_sparsity_bounds(hlf, geometry, rng):
+    data = _showers(64, geometry["n_voxels"], rng)
+    hlf.CalculateFeatures(data)
+    for k, s in hlf.GetSparsity().items():
+        assert ((s >= 0) & (s <= 1)).all()
+    # all-zero shower has sparsity 0 everywhere
+    hlf2 = HighLevelFeatures(geometry["particle"], filename=geometry["xml"])
+    hlf2.CalculateFeatures(np.zeros((4, geometry["n_voxels"])))
+    for s in hlf2.GetSparsity().values():
+        assert (s == 0).all()
+
+
+def test_hlf_center_of_energy(geometry, rng):
+    """A shower with all energy in one voxel centers exactly on that voxel."""
+    hlf = HighLevelFeatures(geometry["particle"], filename=geometry["xml"])
+    data = np.zeros((1, geometry["n_voxels"]))
+    # layer 1 is binned in alpha (n_alpha=4); light up its first voxel
+    start = hlf.bin_edges[1]
+    data[0, start] = 10.0
+    hlf.CalculateFeatures(data)
+    eta_expect = hlf.eta_all_layers[1][0]
+    phi_expect = hlf.phi_all_layers[1][0]
+    assert hlf.GetECEtas()[1][0] == pytest.approx(eta_expect, rel=1e-6)
+    assert hlf.GetECPhis()[1][0] == pytest.approx(phi_expect, rel=1e-6)
+    # single voxel -> zero width
+    assert hlf.GetWidthEtas()[1][0] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_hlf_weighted_depth(geometry, rng):
+    """Energy only in layer 3 gives depth exactly 3 in every profile."""
+    hlf = HighLevelFeatures(geometry["particle"], filename=geometry["xml"])
+    data = np.zeros((2, geometry["n_voxels"]))
+    data[:, hlf.bin_edges[3] : hlf.bin_edges[4]] = 1.0
+    hlf.CalculateFeatures(data)
+    for prof in hlf.GetWeightedDepthA().values():
+        np.testing.assert_allclose(prof, 3.0, rtol=1e-5)
+    for prof in hlf.GetWeightedDepthR().values():
+        np.testing.assert_allclose(prof, 3.0, rtol=1e-5)
+
+
+def test_separation_power():
+    from vit4hep_tpu.evaluation.plots import separation_power
+
+    h = np.array([0.25, 0.25, 0.5])
+    assert separation_power(h, h) == pytest.approx(0.0)
+    a = np.array([1.0, 0.0])
+    b = np.array([0.0, 1.0])
+    assert separation_power(a, b) == pytest.approx(1.0)
+
+
+def test_ratio_panel_smoke(tmp_path, rng):
+    from vit4hep_tpu.evaluation.plots import ratio_panel
+
+    ref = rng.normal(0, 1, 4000)
+    gen = rng.normal(0.1, 1, 4000)
+    seps = ratio_panel(
+        [gen], ref, np.linspace(-4, 4, 31), "x", ["model"],
+        filename=str(tmp_path / "panel.pdf"),
+    )
+    assert (tmp_path / "panel.pdf").exists()
+    assert 0 <= seps[0] < 0.1
+
+
+def test_ttv_split(rng):
+    a = rng.normal(size=(100, 3))
+    b = rng.normal(size=(120, 3))
+    train, test, val = ttv_split(a, b, rng=rng)
+    assert len(train) + len(test) + len(val) == 200
+    assert len(train) == 120  # 0.6 * 2 * 100
+
+
+def test_dnn_classifier_separates(rng):
+    """Well-separated classes -> AUC ~ 1; identical classes -> AUC ~ 0.5."""
+    n = 1500
+    real = np.concatenate([rng.normal(2, 1, (n, 4)), np.ones((n, 1))], axis=1)
+    fake = np.concatenate([rng.normal(-2, 1, (n, 4)), np.zeros((n, 1))], axis=1)
+    train, test, val = ttv_split(fake, real, rng=rng)
+    cfg = ClassifierConfig(lr=1e-3, batch_size=256, n_epochs=4)
+    _, apply_fn = train_classifier(DNN(num_layer=1, num_hidden=32), train, test, cfg)
+    _, auc, jsd = evaluate_classifier(apply_fn, val, calibration_data=test, final_eval=True)
+    assert auc > 0.95
+    assert jsd > 0.5
+
+    same_a = np.concatenate([rng.normal(0, 1, (n, 4)), np.zeros((n, 1))], axis=1)
+    same_b = np.concatenate([rng.normal(0, 1, (n, 4)), np.ones((n, 1))], axis=1)
+    train, test, val = ttv_split(same_a, same_b, rng=rng)
+    _, apply_fn = train_classifier(DNN(num_layer=1, num_hidden=32), train, test, cfg)
+    _, auc, _ = evaluate_classifier(apply_fn, val, calibration_data=test, final_eval=True)
+    assert 0.35 < auc < 0.65
+
+
+def test_resnet3d_forward(rng):
+    import jax
+
+    model = generate_model(10, img_shape=(8, 8, 4))
+    x = np.concatenate(
+        [rng.normal(size=(2, 1)), rng.random((2, 8 * 8 * 4))], axis=1
+    ).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 1)
+
+
+def test_frechet_distance_identity(rng):
+    x = rng.normal(size=(2000, 5))
+    assert frechet_distance(x, x) == pytest.approx(0.0, abs=1e-6)
+    y = rng.normal(3.0, 1.0, size=(2000, 5))
+    assert frechet_distance(x, y) > 5 * 5  # mean shift dominates: ~ d * 9
+
+
+def test_fpd_kpd_sanity(rng):
+    x = rng.normal(size=(3000, 4))
+    y = rng.normal(size=(3000, 4))
+    val, err = fpd(x, y, min_samples=500)
+    assert abs(val) < 0.5
+    k, _ = kpd(x, y, batch_size=500, num_batches=4)
+    assert abs(k) < 0.1
+    y_far = rng.normal(2.0, 1.0, size=(3000, 4))
+    val_far, _ = fpd(x, y_far, min_samples=500)
+    k_far, _ = kpd(x, y_far, batch_size=500, num_batches=4)
+    assert val_far > val + 1
+    assert k_far > k + 1
+
+
+def test_plot_ui_dists_and_classifier(tmp_path, rng):
+    from vit4hep_tpu.evaluation.us_evaluation import eval_ui_dists, plot_ui_dists
+    from vit4hep_tpu.utils.config import Config
+
+    cfg = Config({
+        "run_dir": str(tmp_path),
+        "run_idx": 0,
+        "evaluation": {
+            "eval_cls_n_layer": 1, "eval_cls_n_hidden": 32, "eval_cls_dropout": 0.0,
+            "eval_cls_lr": 1e-3, "eval_cls_batch_size": 256, "eval_cls_n_epochs": 2,
+            "eval_mode": "all", "eval_dataset": "1-photons",
+        },
+    })
+    gen = np.clip(rng.normal(0.5, 0.2, (800, 3)), 0, 1.2)
+    ref = np.clip(rng.normal(0.5, 0.2, (800, 3)), 0, 1.2)
+    plot_ui_dists(gen, ref, cfg=cfg)
+    assert (tmp_path / "eval_0" / "u0_dist.pdf").exists()
+    assert (tmp_path / "eval_0" / "u2_dist.pdf").exists()
+    acc, auc, jsd = eval_ui_dists(gen, ref, cfg)
+    assert 0.3 < auc < 0.7

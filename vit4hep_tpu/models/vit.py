@@ -68,6 +68,14 @@ class ViTParams:
     # TPU-specific: attention implementation ("auto" | "flash" | "xla")
     attn_impl: str = "auto"
     compute_dtype: str = "float32"
+    # fine-tuning mappers (reference experiment_finetuning.py:75-139): when
+    # in_patch_dim is set, a Dense(in_patch_dim -> patch_dim) + SiLU mapper is
+    # prepended to the backbone x_embedder; likewise in_condition_dim for the
+    # c_embedder. out_patch_dim overrides the FinalLayer output patch size
+    # (the target dataset's), decoupling it from the embedder input.
+    in_patch_dim: int | None = None
+    in_condition_dim: int | None = None
+    out_patch_dim: int | None = None
 
     @classmethod
     def create(cls, param: dict) -> "ViTParams":
@@ -254,18 +262,33 @@ class ViTNet(_ViTBase):
     def __call__(self, x, t, c):
         p = self.cfg
         dt = p.dtype
+        x = x.astype(dt)
+        if p.in_patch_dim is not None:
+            x = nn.Dense(
+                p.patch_dim, kernel_init=xavier, bias_init=zeros, dtype=dt,
+                name="x_mapper",
+            )(x)
+            x = nn.silu(x)
         x = nn.Dense(
             p.hidden_dim, kernel_init=xavier, bias_init=zeros, dtype=dt, name="x_embedder"
-        )(x.astype(dt))
+        )(x)
         x = x + self._pos_embedding_3d().astype(dt)
 
         t_emb = TimestepEmbedder(p.hidden_dim, dtype=dt, name="t_embedder")(t)
-        c_emb = ConditionEmbedder(p.hidden_dim, dtype=dt, name="c_embedder")(c.astype(dt))
+        c = c.astype(dt)
+        if p.in_condition_dim is not None:
+            c = nn.Dense(
+                p.condition_dim, kernel_init=xavier, bias_init=zeros, dtype=dt,
+                name="c_mapper",
+            )(c)
+            c = nn.silu(c)
+        c_emb = ConditionEmbedder(p.hidden_dim, dtype=dt, name="c_embedder")(c)
         cond = t_emb + c_emb
 
         x = self._blocks(x, cond, self._attn_mask())
+        out_patch = p.out_patch_dim if p.out_patch_dim is not None else p.patch_dim
         out = FinalLayer(
-            p.hidden_dim, p.out_channels * 1 * p.patch_dim, dtype=dt, name="final_layer"
+            p.hidden_dim, p.out_channels * 1 * out_patch, dtype=dt, name="final_layer"
         )(x, cond)
         return out.astype(jnp.float32)
 
