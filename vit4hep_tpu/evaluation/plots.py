@@ -309,3 +309,82 @@ def plot_layer_comparison(hlf_class, data, reference_class, reference_data, arg,
             )
             pdf.savefig(fig, dpi=300)
             plt.close(fig)
+
+
+def plot_Etot_Einc_scaled(hlfs, reference_class, arg, labels, input_names, p_label):
+    """E_tot/E_inc with data-driven range (reference :333-345, LEMURS)."""
+    ref_ratio = reference_class.GetEtot() / reference_class.Einc.squeeze()
+    bins = np.linspace(np.quantile(ref_ratio, 0.001), ref_ratio.max() * 1.01, 31)
+    seps = ratio_panel(
+        [h.GetEtot() / h.Einc.squeeze() for h in hlfs], ref_ratio, bins,
+        r"$E_{\mathrm{tot}} / E_{\mathrm{inc}}$", labels, p_label,
+        filename=os.path.join(arg.output_dir, f"Etot_Einc_dataset_{arg.dataset}.pdf"),
+    )
+    for i, s in enumerate(seps):
+        _log_chi2(arg, input_names[i], f"Etot/Einc (scaled): separation power = {s}")
+
+
+def _profile_plot(hlfs, reference_class, arg, labels, getter_name, tag, xlabel):
+    """Mean +- SEM energy profile across layer/radial indices with a ratio
+    panel (reference :2209-2363)."""
+    ref_prof = getattr(reference_class, getter_name)()
+    if not ref_prof:
+        return
+    keys = list(ref_prof.keys())
+    ref_means = np.array([ref_prof[k].mean() for k in keys])
+    ref_sem = np.array(
+        [ref_prof[k].std() / np.sqrt(len(ref_prof[k])) for k in keys]
+    )
+    fig, ax = plt.subplots(
+        2, 1, figsize=(5.0, 4.5),
+        gridspec_kw={"height_ratios": (3, 1), "hspace": 0.0}, sharex=True,
+    )
+    x = np.arange(len(keys) + 1)
+    ax[0].step(x, _steps(ref_means), where="post", color="k", lw=1.0, label="Geant4")
+    ax[0].fill_between(x, _steps(ref_means - ref_sem), _steps(ref_means + ref_sem),
+                       step="post", color="k", alpha=0.2)
+    for i, h in enumerate(hlfs):
+        prof = getattr(h, getter_name)()
+        means = np.array([prof[k].mean() for k in keys])
+        sem = np.array([prof[k].std() / np.sqrt(len(prof[k])) for k in keys])
+        c = COLORS[i % len(COLORS)]
+        ax[0].step(x, _steps(means), where="post", color=c, lw=1.0, label=labels[i])
+        ax[0].fill_between(x, _steps(means - sem), _steps(means + sem), step="post",
+                           color=c, alpha=0.2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.nan_to_num(means / ref_means, nan=1.0)
+        ax[1].step(x, _steps(ratio), where="post", color=c, lw=1.0)
+    ax[0].set_yscale("log")
+    ax[0].set_ylabel("mean energy [MeV]")
+    ax[0].legend(frameon=False)
+    ax[1].axhline(1.0, color="k", lw=1.0)
+    ax[1].set_ylim(0.5, 1.5)
+    ax[1].set_ylabel("Model/Ref")
+    ax[1].set_xlabel(xlabel)
+    fig.tight_layout(pad=0.0, h_pad=0.0)
+    fig.savefig(os.path.join(arg.output_dir, f"{tag}_dataset_{arg.dataset}.pdf"), dpi=300)
+    plt.close(fig)
+
+
+def plot_z_profile(hlfs, reference_class, arg, labels, input_names, p_label):
+    _profile_plot(hlfs, reference_class, arg, labels, "GetElayers",
+                  "profile_energy_z", "layer index")
+
+
+def plot_r_profile(hlfs, reference_class, arg, labels, input_names, p_label):
+    _profile_plot(hlfs, reference_class, arg, labels, "GetEradial",
+                  "profile_energy_r", "radial index")
+
+
+def plot_conditions(sample_conds, ref_conds, arg, labels, input_names, p_label):
+    """Histograms of the sampling conditions (reference lemurs/evaluate.py:100)."""
+    path = os.path.join(arg.output_dir, "conditions.pdf")
+    names = ["E_inc [MeV]", "theta", "phi"]
+    with PdfPages(path) as pdf:
+        for n in range(sample_conds.shape[1]):
+            both = np.concatenate([sample_conds[:, n], ref_conds[:, n]])
+            bins = np.linspace(both.min() - 1, both.max() + 1, 41)
+            ratio_panel(
+                [sample_conds[:, n]], ref_conds[:, n], bins,
+                names[n] if n < len(names) else f"cond {n}", labels, p_label, pdf=pdf,
+            )

@@ -171,6 +171,8 @@ class BaseExperiment:
             self._init_scheduler()
             self.train()
             self._save_model()
+            if self.cfg.save and self.cfg.get("plotting", {}) and self.cfg.plotting.get("loss", False):
+                self._plot_training_curves()
 
         if self.cfg.evaluate:
             self.evaluate()
@@ -428,6 +430,23 @@ class BaseExperiment:
         if to_tracker and self.cfg.use_mlflow:
             for key, value in flatten_dict(self.cfg.to_container(resolve=False)).items():
                 log_mlflow(key, value, kind="param")
+
+    def _plot_training_curves(self):
+        """Loss / LR / grad-norm PDFs into the run dir (reference
+        experiments/base_plots.py via base_experiment plotting hooks)."""
+        from vit4hep_tpu.utils.base_plots import plot_loss, plot_metric
+
+        run_dir = Path(self.cfg.run_dir)
+        val_every = int(self.cfg.training.validate_every_n_steps)
+        if self.train_loss:
+            plot_loss(run_dir / f"loss_{self.cfg.run_idx}.pdf", self.train_loss,
+                      self.val_loss, val_every=val_every)
+        if self.train_lr:
+            plot_metric(run_dir / f"lr_{self.cfg.run_idx}.pdf", self.train_lr,
+                        "learning rate", logy=True)
+        if self.grad_norm_train:
+            plot_metric(run_dir / f"grad_norm_{self.cfg.run_idx}.pdf",
+                        self.grad_norm_train, "gradient norm", logy=True)
 
     def _save_model(self, filename=None):
         if not self.cfg.save:

@@ -76,6 +76,8 @@ class Config:
                 raise MissingMandatoryValue(f"Missing mandatory value: {key}")
             if _INTERP_RE.search(v):
                 return self._interpolate(v)
+        if isinstance(v, list):
+            return [self._resolve_value(key, x) for x in v]
         return v
 
     def _interpolate(self, s: str):
