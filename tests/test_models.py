@@ -169,3 +169,27 @@ def test_trajectories():
     np.testing.assert_allclose(np.asarray(xdot), 1.0)
     xt, xdot = vp_trajectory(x0, x1, t)
     assert np.all(np.isfinite(np.asarray(xt))) and np.all(np.isfinite(np.asarray(xdot)))
+
+
+def test_ar_transformer_loss_and_sampling():
+    """Legacy AR energy net: teacher-forced loss + dimension-by-dimension sampling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit4hep_tpu.models.ar_transformer import ARtransformer
+
+    model = ARtransformer({
+        "shape": [4], "n_con": 1, "dim_embedding": 32, "n_head": 2,
+        "n_encoder_layers": 1, "n_decoder_layers": 1, "dim_feedforward": 64,
+        "intermediate_dim": 64, "layers_per_block": 3,
+        "solver_kwargs": {"method": "rk4", "options": {"step_size": 0.25}},
+    })
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(6, 4)), jnp.float32)
+    c = jnp.asarray(np.random.default_rng(1).normal(size=(6, 1)), jnp.float32)
+    loss = model.batch_loss(params, x, c, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    sample = model.sample_batch(params, c, jax.random.PRNGKey(2))
+    assert sample.shape == (6, 4)
+    assert np.isfinite(np.asarray(sample)).all()

@@ -284,9 +284,15 @@ class BaseExperiment:
         train_time, val_time = 0.0, 0.0
         key_train, self.base_key = jax.random.split(self.base_key)
 
+        # optional profiler window (SURVEY.md section 5: trace hook gated by a
+        # config flag): capture steps [10, 20) into <run_dir>/profile
+        profile_window = (10, 20) if self.cfg.get("profile", False) and self.cfg.save else None
+
         step = 0
         pending = []  # (step, metrics) not yet fetched from device
         for step in range(iterations):
+            if profile_window and step == profile_window[0]:
+                jax.profiler.start_trace(os.path.join(self.cfg.run_dir, "profile"))
             data = self._put_batch(next(self.train_iterator))
             t0 = time.time()
             self.state, metrics = self._train_step(
@@ -294,6 +300,11 @@ class BaseExperiment:
             )
             pending.append((step, metrics))
             train_time += time.time() - t0
+            if profile_window and step == profile_window[1]:
+                jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                LOGGER.info(f"Saved profiler trace to {self.cfg.run_dir}/profile")
+                profile_window = None
 
             validating = (step + 1) % validate_every == 0
             logging_now = (

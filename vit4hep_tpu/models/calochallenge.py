@@ -15,6 +15,9 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import jax
+import jax.numpy as jnp
+
 from vit4hep_tpu.models.cfm import CFM
 from vit4hep_tpu.models.cinn import CINN
 from vit4hep_tpu.ops import patching
@@ -58,6 +61,27 @@ class CaloChallengeCFM(CFM):
 
     def _net_out(self, z, x_shape):
         return self.from_patches(z)
+
+    def token_shape(self, batch_size: int) -> tuple:
+        t = int(math.prod(self.num_patches))
+        p = int(math.prod(self.patch_shape)) * self.in_channels
+        return (batch_size, t, p)
+
+    def sample_batch(self, params, c, rng):
+        """Integrate the ODE in token space: patching is a bijective
+        rearrangement and x_T ~ N(0,1) iid is invariant under it, so the
+        voxel<->token transposes can be hoisted out of the 20-step RK4 loop
+        (80 net evals) and applied once at the end."""
+        from vit4hep_tpu.ops.ode import odeint
+
+        x_T = jax.random.normal(rng, self.token_shape(c.shape[0]), dtype=jnp.float32)
+
+        def f(t, tokens):
+            t_b = jnp.full((tokens.shape[0], 1), t, tokens.dtype)
+            return self.net.apply(params, tokens, t_b, c)
+
+        tokens = odeint(f, x_T, t0=0.0, t1=1.0, **self.ode_kwargs)
+        return self.from_patches(tokens)
 
 
 class CaloChallengeCFM_DS1(CaloChallengeCFM):
@@ -106,6 +130,9 @@ class CaloChallengeCFM_DS1(CaloChallengeCFM):
 
     def x_shape(self, batch_size: int) -> tuple:
         return (batch_size, self.in_channels, self.flat_voxels)
+
+    def token_shape(self, batch_size: int) -> tuple:
+        return (batch_size, self.patcher.total_patches, self.patcher.patch_dim)
 
     def to_patches(self, x):
         return self.patcher.to_patches(x)

@@ -54,6 +54,17 @@ class EnergyTransformerParams:
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in dict(param).items() if k in known})
 
+    def __post_init__(self):
+        if self.embeds and self.encode_t_dim != self.dim_embedding:
+            # the reference concatenates [t_emb, x_emb] into d_model =
+            # 2 * dim_embedding (transformer_cfm.py:78-84), which only closes
+            # when encode_t_dim == dim_embedding; its shipped configs satisfy
+            # this implicitly. Fail loudly instead of at trace time.
+            raise ValueError(
+                f"embeds=True requires encode_t_dim ({self.encode_t_dim}) "
+                f"== dim_embedding ({self.dim_embedding})"
+            )
+
     @property
     def d_model(self) -> int:
         return 2 * self.dim_embedding if self.embeds else self.dim_embedding
@@ -73,7 +84,7 @@ class _MHA(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, q_in, kv_in):
+    def __call__(self, q_in, kv_in, mask=None):
         b, nq, _ = q_in.shape
         nk = kv_in.shape[1]
         hd = self.d_model // self.nhead
@@ -83,7 +94,7 @@ class _MHA(nn.Module):
         q = q.reshape(b, nq, self.nhead, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, nk, self.nhead, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, nk, self.nhead, hd).transpose(0, 2, 1, 3)
-        out = dot_product_attention(q, k, v, impl="xla")
+        out = dot_product_attention(q, k, v, mask=mask, impl="xla")
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, self.d_model)
         return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
 
@@ -132,9 +143,11 @@ class _DecoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, memory):
+    def __call__(self, x, memory, self_mask=None):
         x = nn.LayerNorm(dtype=self.dtype)(
-            x + _MHA(self.d_model, self.nhead, dtype=self.dtype, name="self_attn")(x, x)
+            x + _MHA(self.d_model, self.nhead, dtype=self.dtype, name="self_attn")(
+                x, x, mask=self_mask
+            )
         )
         x = nn.LayerNorm(dtype=self.dtype)(
             x + _MHA(self.d_model, self.nhead, dtype=self.dtype, name="cross_attn")(x, memory)

@@ -369,6 +369,13 @@ TARGET_REMAP = {
     "nn.cfm.transformer_cfm.ParallelTransformer": (
         "vit4hep_tpu.models.energy_transformer.ParallelTransformer"
     ),
+    "nn.cfm.transformer.ARtransformer": "vit4hep_tpu.models.ar_transformer.ARtransformer",
+    # stale reference config paths (modules missing in the reference itself,
+    # SURVEY.md L1): alias to the nearest live equivalents
+    "nn.cfm.mlp_transformer.MLPTransformer2": (
+        "vit4hep_tpu.models.energy_transformer.ParallelTransformer"
+    ),
+    "nn.vit.ViT2": "vit4hep_tpu.models.vit.ViT",
     "experiments.calochallenge.calochallenge_cfm.model.CaloChallengeCFM": (
         "vit4hep_tpu.models.calochallenge.CaloChallengeCFM"
     ),
