@@ -1,0 +1,97 @@
+"""Tensor parallelism over the (data, model) mesh: sharded params produce the
+same numerics as replicated params, with XLA inserting the collectives."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit4hep_tpu.parallel import mesh as mesh_lib
+from vit4hep_tpu.parallel.sharding_rules import shard_tree, spec_for_path
+
+
+def _tiny_vit_model():
+    from vit4hep_tpu.utils.config import instantiate
+
+    return instantiate({
+        "_target_": "experiments.calochallenge.calochallenge_cfm.model.CaloChallengeCFM",
+        "in_channels": 1, "shape": [4, 4, 2], "patch_shape": [1, 2, 1],
+        "odeint_kwargs": {"method": "rk4", "options": {"step_size": 0.5}},
+        "net": {"_target_": "nn.vit.ViT", "param": {
+            "dim": 3, "condition_dim": 3, "hidden_dim": 48, "depth": 2,
+            "num_heads": 2, "mlp_ratio": 2.0, "num_patches": [[4, 2, 2]],
+            "patch_dim": 2}},
+    })
+
+
+def test_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    assert spec_for_path(("block_0", "Attention_0", "Dense_0", "kernel")) == P(None, "model")
+    assert spec_for_path(("block_1", "Attention_0", "Dense_1", "kernel")) == P("model", None)
+    assert spec_for_path(("block_0", "MlpBlock_0", "Dense_0", "kernel")) == P(None, "model")
+    assert spec_for_path(("block_0", "MlpBlock_0", "Dense_0", "bias")) == P("model",)
+    assert spec_for_path(("x_embedder", "kernel")) == P()
+    assert spec_for_path(("final_layer", "Dense_0", "kernel")) == P()
+    # optimizer-state mirror (mu/nu nest the same names deeper)
+    assert spec_for_path(
+        ("0", "mu", "params", "block_0", "Attention_0", "Dense_0", "kernel")
+    ) == P(None, "model")
+
+
+def test_tp_matches_replicated():
+    model = _tiny_vit_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 1, 4, 4, 2)), jnp.float32)
+    t = jnp.full((8, 1), 0.4)
+    c = jnp.asarray(np.random.default_rng(1).normal(size=(8, 3)), jnp.float32)
+
+    mesh_dp = mesh_lib.create_mesh(model_parallel=1)
+    mesh_tp = mesh_lib.create_mesh(model_parallel=2)
+
+    fwd = jax.jit(lambda p, x, t, c: model.forward(p, x, t, c))
+
+    p_rep = mesh_lib.replicate(params, mesh_dp)
+    x_dp = mesh_lib.shard_batch(x, mesh_dp)
+    out_ref = np.asarray(fwd(p_rep, x_dp, t, c))
+
+    p_tp = shard_tree(params, mesh_tp)
+    # qkv kernel really is sharded over the model axis
+    qkv = p_tp["params"]["block_0"]["Attention_0"]["Dense_0"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
+    x_tp = mesh_lib.shard_batch(x, mesh_tp)
+    out_tp = np.asarray(fwd(p_tp, x_tp, t, c))
+    np.testing.assert_allclose(out_tp, out_ref, rtol=2e-5, atol=2e-6)
+
+
+def test_tp_train_step():
+    """Full jitted train step with TP-sharded state on a (4, 2) mesh."""
+    from vit4hep_tpu.experiments import train_state as ts
+
+    model = _tiny_vit_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    class TCfg(dict):
+        __getattr__ = dict.get
+        lr = 1e-3
+        iterations = 10
+
+    tx = ts.make_optimizer(TCfg())
+    state = ts.create_train_state(params, tx, use_ema=True)
+    mesh = mesh_lib.create_mesh(model_parallel=2)
+    state = mesh_lib.shard_state(state, mesh)
+
+    step = jax.jit(
+        ts.make_train_step(
+            lambda p, x, c, rng: model.batch_loss(p, x, c, rng), tx,
+            clip_grad_norm=1.0, ema_decay=0.999,
+        ),
+        donate_argnums=(0,),
+    )
+    x = np.random.default_rng(0).normal(size=(8, 1, 4, 4, 2)).astype(np.float32)
+    c = np.random.default_rng(1).normal(size=(8, 3)).astype(np.float32)
+    data = mesh_lib.shard_batch((x, c), mesh)
+    state, metrics = step(state, data, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay TP-sharded after the update
+    qkv = state.params["params"]["block_0"]["Attention_0"]["Dense_0"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated

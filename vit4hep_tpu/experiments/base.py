@@ -217,7 +217,7 @@ class BaseExperiment:
             LOGGER.info(f"Loading model/optimizer/EMA state from {model_path}")
             state = self._restore_state(state, model_path)
 
-        self.state = mesh_lib.replicate(state, self.mesh)
+        self.state = mesh_lib.shard_state(state, self.mesh)
         del self._init_params
 
     def _restore_state(self, template, path):

@@ -86,7 +86,7 @@ class FTMixin:
             state = self._restore_state(state, model_path)
         from vit4hep_tpu.parallel import mesh as mesh_lib
 
-        self.state = mesh_lib.replicate(state, self.mesh)
+        self.state = mesh_lib.shard_state(state, self.mesh)
         del self._init_params
 
 

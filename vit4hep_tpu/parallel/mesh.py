@@ -56,6 +56,18 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_state(tree, mesh: Mesh):
+    """Place a train-state pytree on the mesh: tensor-parallel sharding over
+    the ``model`` axis where the parameter path matches a transformer matmul
+    (parallel/sharding_rules.py), replicated otherwise. With model=1 this
+    degrades to :func:`replicate`."""
+    if mesh.shape[MODEL_AXIS] == 1:
+        return replicate(tree, mesh)
+    from vit4hep_tpu.parallel.sharding_rules import shard_tree
+
+    return shard_tree(tree, mesh)
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
