@@ -246,3 +246,25 @@ def test_cinn_config_instantiation():
     cfg_e = compose("configs", "model/cinn/cinn_energy")
     model_e = instantiate(cfg_e)
     assert model_e.shape == (45,)
+
+
+@pytest.mark.parametrize("gin,soft", [(False, False), (True, True)])
+def test_all_in_one_block(rng, gin, soft):
+    """Legacy AllInOneBlock: affine coupling + permutation + ActNorm invert."""
+    from vit4hep_tpu.models.bijectors import AllInOneBlock
+
+    block = AllInOneBlock(dims_in=8, gin_block=gin, permute_soft=soft)
+    x = jnp.asarray(rng.normal(size=(6, 8)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(6, 2)), jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x, c)
+    y, ld = block.apply(params, x, c, method="forward")
+    x_back, ld_inv = block.apply(params, y, c, method="inverse")
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld), -np.asarray(ld_inv), rtol=1e-4, atol=1e-5)
+    if gin:
+        # volume preserving: logdet == 0
+        np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-5)
+    # logdet matches autodiff jacobian
+    jac = jax.jacfwd(lambda xv: block.apply(params, xv[None], c[:1], method="forward")[0][0])(x[0])
+    expected = float(jnp.linalg.slogdet(jac)[1])
+    assert float(ld[0]) == pytest.approx(expected, rel=1e-3, abs=1e-4)

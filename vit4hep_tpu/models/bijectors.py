@@ -295,3 +295,97 @@ class FlowChain(nn.Module):
 
     def __call__(self, x, c):  # for init
         return self.forward(x, c)
+
+
+class AllInOneBlock(nn.Module):
+    """Affine coupling + permutation + global affine ('ActNorm') in one block —
+    the FrEIA-style combi block of the reference's legacy ``nn/aio.py:12-308``
+    (unused by live configs; its torch forward had the permutation/ActNorm
+    paths commented out and a hard-coded reshape). This is a clean
+    reconstruction of the documented behavior:
+
+        y = R (Psi(s_g) * Coupling(x) + t_g)
+
+    with soft-clamped affine coupling u1 = x1 * exp(alpha*tanh(s(x2))) + t(x2),
+    optional volume-preserving GIN variant, and a hard or SO(N)-sampled soft
+    permutation R. Operates on flat feature vectors (B, D).
+    """
+
+    dims_in: int
+    subnet_ctor: Callable[[int], Any] = None
+    affine_clamping: float = 2.0
+    gin_block: bool = False
+    global_affine_init: float = 1.0
+    permute_soft: bool = False
+    seed: int = 0
+
+    def setup(self):
+        d = self.dims_in
+        self.split1 = d // 2
+        self.split2 = d - d // 2
+        ctor = self.subnet_ctor or (lambda out: SubnetMLP(out_dim=out))
+        self.subnet = ctor(2 * self.split2)
+
+        rng = np.random.default_rng(self.seed)
+        if self.permute_soft:
+            # SO(N) rotation via QR of a gaussian matrix (det +1)
+            q, r = np.linalg.qr(rng.normal(size=(d, d)))
+            q = q * np.sign(np.diag(r))
+            if np.linalg.det(q) < 0:
+                q[:, 0] = -q[:, 0]
+            w = q
+        else:
+            w = np.zeros((d, d))
+            for i, j in enumerate(rng.permutation(d)):
+                w[i, j] = 1.0
+        self.w_perm = jnp.asarray(w, jnp.float32)
+        self.w_perm_inv = jnp.asarray(w.T, jnp.float32)
+
+        # ActNorm: softplus-activated global scale + offset (aio.py:139-157)
+        init_pre = 2.0 * np.log(np.exp(0.5 * 10.0 * self.global_affine_init) - 1)
+        self.global_scale = self.param(
+            "global_scale", lambda *_: jnp.full((1, d), init_pre, jnp.float32)
+        )
+        self.global_offset = self.param(
+            "global_offset", lambda *_: jnp.zeros((1, d), jnp.float32)
+        )
+
+    def _scale(self):
+        return 0.1 * 2.0 * jnp.logaddexp(0.5 * self.global_scale, 0.0)
+
+    def _affine(self, x2, a, rev):
+        """Soft-clamped affine (aio.py:238-260); GIN removes the volume change."""
+        a = a * 0.1
+        s = self.affine_clamping * jnp.tanh(a[:, : self.split2])
+        if self.gin_block:
+            s = s - jnp.mean(s, axis=1, keepdims=True)
+        t = a[:, self.split2 :]
+        if rev:
+            return (x2 - t) * jnp.exp(-s), -jnp.sum(s, axis=1)
+        return x2 * jnp.exp(s) + t, jnp.sum(s, axis=1)
+
+    def forward(self, x, c=None):
+        x1, x2 = x[:, : self.split1], x[:, self.split1 :]
+        a = self.subnet(jnp.concatenate([x1, c], 1) if c is not None else x1)
+        y2, logdet = self._affine(x2, a, rev=False)
+        y = jnp.concatenate([x1, y2], axis=1)
+        scale = self._scale()
+        if not self.gin_block:
+            y = y * scale + self.global_offset
+            logdet = logdet + jnp.sum(jnp.log(scale))
+        return y @ self.w_perm.T, logdet
+
+    def inverse(self, y, c=None):
+        y = y @ self.w_perm_inv.T
+        scale = self._scale()
+        logdet = jnp.zeros(y.shape[0], y.dtype)
+        if not self.gin_block:
+            y = (y - self.global_offset) / scale
+            logdet = logdet - jnp.sum(jnp.log(scale))
+        x1, y2 = y[:, : self.split1], y[:, self.split1 :]
+        a = self.subnet(jnp.concatenate([x1, c], 1) if c is not None else x1)
+        x2, j = self._affine(y2, a, rev=True)
+        return jnp.concatenate([x1, x2], axis=1), logdet + j
+
+    def __call__(self, x, c=None):
+        return self.forward(x, c)
