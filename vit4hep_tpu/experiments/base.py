@@ -261,6 +261,23 @@ class BaseExperiment:
     def _put_batch(self, batch):
         return mesh_lib.shard_batch(batch, self.mesh)
 
+    def _prefetched(self, iterator, depth: int = 2):
+        """Assemble + device-put upcoming batches on a background thread so
+        host-side data work overlaps with the device executing the current
+        step (the jitted step dispatch returns immediately)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+        def worker():
+            for item in iterator:
+                q.put(self._put_batch(item))
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            yield q.get()
+
     def train(self):
         self.train_lr, self.train_loss, self.val_loss = [], [], []
         self.grad_norm_train, self.grad_norm_net = [], []
@@ -288,12 +305,14 @@ class BaseExperiment:
         # config flag): capture steps [10, 20) into <run_dir>/profile
         profile_window = (10, 20) if self.cfg.get("profile", False) and self.cfg.save else None
 
+        train_feed = self._prefetched(self.train_iterator)
+
         step = 0
         pending = []  # (step, metrics) not yet fetched from device
         for step in range(iterations):
             if profile_window and step == profile_window[0]:
                 jax.profiler.start_trace(os.path.join(self.cfg.run_dir, "profile"))
-            data = self._put_batch(next(self.train_iterator))
+            data = next(train_feed)
             t0 = time.time()
             self.state, metrics = self._train_step(
                 self.state, data, jax.random.fold_in(key_train, step)
