@@ -149,3 +149,31 @@ def test_lemurs_cfm_loss_and_patch(rng):
     assert np.isfinite(float(loss))
     sample = model.sample_batch(params, c, jax.random.PRNGKey(2))
     assert sample.shape == (8, 1, L, W, H)
+
+
+def test_native_record_cache(tmp_path, lemurs_files, rng):
+    """C++ mmap cache: gathers match h5py reads exactly; works in the iterator."""
+    from vit4hep_tpu.data.lemurs.datasets import enable_native_cache
+
+    ds_ref = LEMURSDataset(lemurs_files)
+    ds_fast = LEMURSDataset(lemurs_files)
+    spec = {
+        "incident_energy": (1,), "incident_theta": (1,), "incident_phi": (1,),
+        "showers": (H, W, L),
+    }
+    enable_native_cache(ds_fast, tmp_path / "cache", spec)
+
+    idx = rng.choice(len(ds_ref), size=48, replace=False)
+    ref_data, ref_cls = ds_ref.read_indices(list(idx))
+    fast_data, fast_cls = ds_fast.read_indices(list(idx))
+    np.testing.assert_array_equal(ref_cls, fast_cls)
+    for key in spec:
+        np.testing.assert_allclose(fast_data[key], ref_data[key], rtol=1e-6)
+
+    # cache reuse across instances (file already built)
+    ds_again = LEMURSDataset(lemurs_files)
+    enable_native_cache(ds_again, tmp_path / "cache", spec)
+    again, _ = ds_again.read_indices([0, 5, 100])
+    np.testing.assert_allclose(
+        again["showers"], ds_ref.read_indices([0, 5, 100])[0]["showers"], rtol=1e-6
+    )

@@ -220,3 +220,60 @@ class CollatedBatchIterator:
         if not hasattr(self, "_iter"):
             self._iter = iter(self)
         return next(self._iter)
+
+
+def enable_native_cache(dataset: LEMURSDataset, cache_dir, spec: dict,
+                        fields_from_event=None):
+    """Switch a lazy dataset's ``read_indices`` to the native mmap record cache
+    (vit4hep_tpu/data/native_cache.py). The cache is built once from the HDF5
+    files (in index-map order, so global indices line up) and reused across
+    runs; class indices stay host-side numpy.
+    """
+    import os
+
+    from vit4hep_tpu.data.native_cache import NativeRecordCache, build_cache
+
+    cache_dir = str(cache_dir)
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"{type(dataset).__name__}_{len(dataset.index_map)}"
+    cache_path = os.path.join(cache_dir, f"{tag}.v4cache")
+
+    # per-record class indices in index-map order
+    classes = np.asarray([c for (_, _, c) in dataset.index_map], np.int32)
+
+    if not os.path.exists(cache_path):
+        import h5py
+
+        seen = []
+        files_in_order = []
+        for file_path, _, _ in dataset.index_map:
+            if file_path not in seen:
+                seen.append(file_path)
+                files_in_order.append(file_path)
+
+        def batches():
+            for fp in files_in_order:
+                with h5py.File(fp, "r") as f:
+                    events = f["events"][:]
+                yield {
+                    k: np.asarray(events[k], np.float32).reshape(len(events), -1)
+                    for k in spec
+                }
+
+        build_cache(cache_path, batches(), spec)
+
+    cache = NativeRecordCache(cache_path, spec)
+    if len(cache) != len(dataset.index_map):
+        raise ValueError(
+            f"native cache has {len(cache)} records, dataset has "
+            f"{len(dataset.index_map)} — delete {cache_path} to rebuild"
+        )
+
+    def read_indices(indices):
+        data = cache.gather(np.asarray(indices))
+        return data, classes[np.asarray(indices)]
+
+    dataset.read_indices = read_indices
+    dataset._native_cache = cache  # keep alive
+    LOGGER.info(f"Using native record cache {cache_path}")
+    return dataset

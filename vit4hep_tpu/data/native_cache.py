@@ -1,0 +1,164 @@
+"""Native record cache: convert-once HDF5 -> flat binary, mmap'd multithreaded
+gather from C++ (native/record_cache.cpp, bound via ctypes).
+
+The lazy families (LEMURS, CaloHadronic) read shuffled event batches from
+multi-file HDF5 every step; h5py serializes those reads behind the GIL. This
+cache flattens each event into one fixed-size float32 record; the C++ side
+mmaps the file and gathers arbitrary index sets with a thread pool while the
+GIL is released, so batch assembly runs at page-cache speed and fully overlaps
+with device compute (the train loop's prefetch thread).
+
+Usage:
+    spec = {"showers": (4, 3, 5), "incident_energy": (1,), ...}
+    build_cache(path, iter_of_dicts_or_arrays)           # one-time
+    cache = NativeRecordCache(path, spec)
+    batch = cache.gather(indices)                        # dict of np arrays
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from vit4hep_tpu.utils.logger import LOGGER
+
+_MAGIC = 0x56344845503
+_HEADER = struct.Struct("<QQQQ")
+
+_SRC = Path(__file__).resolve().parents[2] / "native" / "record_cache.cpp"
+_LIB_PATH = _SRC.with_name("librecord_cache.so")
+_lib = None
+
+
+def _load_lib():
+    """Compile (once) and load the native library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            "-o", str(_LIB_PATH), str(_SRC), "-lpthread",
+        ]
+        LOGGER.info(f"Building native record cache: {' '.join(cmd)}")
+        subprocess.run(cmd, check=True, capture_output=True)
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.cache_open.restype = ctypes.c_void_p
+    lib.cache_open.argtypes = [ctypes.c_char_p]
+    lib.cache_close.argtypes = [ctypes.c_void_p]
+    lib.cache_num_records.restype = ctypes.c_int64
+    lib.cache_num_records.argtypes = [ctypes.c_void_p]
+    lib.cache_record_size.restype = ctypes.c_int64
+    lib.cache_record_size.argtypes = [ctypes.c_void_p]
+    lib.cache_gather.restype = ctypes.c_int
+    lib.cache_gather.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def record_size_of(spec: dict) -> int:
+    """Bytes per record for a {field: shape} spec (float32 fields)."""
+    return 4 * sum(int(np.prod(shape)) for shape in spec.values())
+
+
+def build_cache(path, batches, spec: dict):
+    """Write a cache file from an iterable of {field: (N, *shape)} dicts.
+
+    Fields are flattened and concatenated per record in ``spec`` key order.
+    """
+    path = Path(path)
+    rec_size = record_size_of(spec)
+    n_total = 0
+    with open(path, "wb") as f:
+        f.write(_HEADER.pack(_MAGIC, 1, 0, rec_size))
+        for batch in batches:
+            n = len(next(iter(batch.values())))
+            flat = np.concatenate(
+                [np.asarray(batch[k], np.float32).reshape(n, -1) for k in spec],
+                axis=1,
+            )
+            assert flat.shape[1] * 4 == rec_size, (
+                f"record size mismatch: {flat.shape[1] * 4} != {rec_size}"
+            )
+            f.write(np.ascontiguousarray(flat).tobytes())
+            n_total += n
+        f.seek(0)
+        f.write(_HEADER.pack(_MAGIC, 1, n_total, rec_size))
+    LOGGER.info(f"Wrote native cache {path}: {n_total} records x {rec_size} B")
+    return path
+
+
+def cache_from_hdf5(path, hdf5_files, spec: dict, table="events"):
+    """Convert structured-events HDF5 files into one cache file."""
+    import h5py
+
+    def batches():
+        for fp in hdf5_files:
+            with h5py.File(fp, "r") as f:
+                events = f[table][:]
+                yield {k: np.asarray(events[k], np.float32) for k in spec}
+
+    return build_cache(path, batches(), spec)
+
+
+class NativeRecordCache:
+    """mmap'd record file with a GIL-free multithreaded gather."""
+
+    def __init__(self, path, spec: dict, n_threads: int | None = None):
+        self.spec = {k: tuple(int(s) for s in v) for k, v in spec.items()}
+        self.lib = _load_lib()
+        self.handle = self.lib.cache_open(str(path).encode())
+        if not self.handle:
+            raise OSError(f"cannot open record cache {path}")
+        self.n_records = int(self.lib.cache_num_records(self.handle))
+        self.record_size = int(self.lib.cache_record_size(self.handle))
+        expected = record_size_of(self.spec)
+        if self.record_size != expected:
+            raise ValueError(
+                f"cache record size {self.record_size} != spec {expected}"
+            )
+        self.n_threads = n_threads or min(8, os.cpu_count() or 1)
+
+    def __len__(self):
+        return self.n_records
+
+    def gather(self, indices) -> dict:
+        """Gather records -> {field: (n, *shape) float32} in spec order."""
+        idx = np.ascontiguousarray(indices, np.int64)
+        n = len(idx)
+        out = np.empty(n * self.record_size // 4, np.float32)
+        rc = self.lib.cache_gather(
+            self.handle,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            out.ctypes.data_as(ctypes.c_char_p),
+            self.n_threads,
+        )
+        if rc != 0:
+            raise IndexError("record index out of range")
+        out = out.reshape(n, -1)
+        result, start = {}, 0
+        for key, shape in self.spec.items():
+            size = int(np.prod(shape))
+            result[key] = out[:, start : start + size].reshape(n, *shape)
+            start += size
+        return result
+
+    def close(self):
+        if self.handle:
+            self.lib.cache_close(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 - interpreter shutdown
+            pass

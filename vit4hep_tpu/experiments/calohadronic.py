@@ -58,6 +58,20 @@ class CaloHadronic(CaloChallenge):
         self.val_dataset = CaloHadDataset(
             self.hdf5_dict_test, max_files_per_worker=self.max_files_per_worker
         )
+        cache_dir = self.cfg.data.get("native_cache")
+        if cache_dir:
+            self._enable_native_cache(cache_dir)
+
+    def _enable_native_cache(self, cache_dir):
+        """Optional native mmap record cache (data/native_cache.py)."""
+        from vit4hep_tpu.data.lemurs.datasets import enable_native_cache
+
+        file_0 = next(iter(self.hdf5_dict_train.values()))[0]
+        with h5py.File(file_0, "r") as f:
+            sample = load_data(f, local_index=0)
+        spec = {k: tuple(v.shape[1:]) for k, v in sample.items()}
+        enable_native_cache(self.train_dataset, cache_dir, spec)
+        enable_native_cache(self.val_dataset, cache_dir, spec)
 
     def _init_dataloader(self):
         from vit4hep_tpu.parallel import mesh as mesh_lib
