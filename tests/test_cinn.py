@@ -268,3 +268,24 @@ def test_all_in_one_block(rng, gin, soft):
     jac = jax.jacfwd(lambda xv: block.apply(params, xv[None], c[:1], method="forward")[0][0])(x[0])
     expected = float(jnp.linalg.slogdet(jac)[1])
     assert float(ld[0]) == pytest.approx(expected, rel=1e-3, abs=1e-4)
+
+
+def test_elementwise_rqs_block(rng):
+    from vit4hep_tpu.models.bijectors import ElementwiseRQSBlock
+
+    block = ElementwiseRQSBlock(dims_in=6, condition_dim=2, bins=5)
+    x = jnp.asarray(rng.normal(0, 2, size=(8, 6)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(8, 2)), jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x, c)
+    y, ld = block.apply(params, x, c, method="forward")
+    x_back, ld_inv = block.apply(params, y, c, method="inverse")
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ld), -np.asarray(ld_inv), atol=1e-2)
+
+    # unconditional: free spline parameters, zero-init -> identity-like map
+    block_u = ElementwiseRQSBlock(dims_in=4, condition_dim=0, bins=4,
+                                  default_domain=(-4.0, 4.0, -4.0, 4.0))
+    xu = jnp.asarray(rng.normal(size=(4, 4)), jnp.float32)
+    pu = block_u.init(jax.random.PRNGKey(1), xu)
+    yu, _ = block_u.apply(pu, xu, method="forward")
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(xu), atol=1e-4)

@@ -389,3 +389,56 @@ class AllInOneBlock(nn.Module):
 
     def __call__(self, x, c=None):
         return self.forward(x, c)
+
+
+class ElementwiseRQSBlock(nn.Module):
+    """Elementwise RQS: every dimension transformed, spline params predicted
+    from the condition alone (or free parameters when unconditional) — the
+    reference's ``ElementwiseRationalQuadraticSpline`` (nn/inn/rqs_v2.py:74-159).
+    Not reachable from any shipped config; provided for component parity.
+    """
+
+    dims_in: int
+    condition_dim: int = 0
+    bins: int = 10
+    min_bin_sizes: tuple = (0.01, 0.01)
+    default_domain: tuple = (-15.0, 15.0, -15.0, 15.0)
+    identity_tails: bool = False
+    domain_clamping: float | None = None
+    subnet_kwargs: Any = None
+
+    @property
+    def n_params(self) -> int:
+        return 2 * self.bins + (self.bins - 1) + (1 if self.identity_tails else 2)
+
+    def setup(self):
+        if self.condition_dim > 0:
+            kw = dict(self.subnet_kwargs or {})
+            self.subnet = SubnetMLP(out_dim=self.dims_in * self.n_params, **kw)
+        else:
+            self.spline_parameters = self.param(
+                "spline_parameters", nn.initializers.zeros,
+                (self.dims_in * self.n_params,),
+            )
+
+    def _params(self, c, batch):
+        if self.condition_dim > 0:
+            theta = self.subnet(c)
+        else:
+            theta = jnp.broadcast_to(
+                self.spline_parameters, (batch, self.dims_in * self.n_params)
+            )
+        theta = theta.reshape(-1, self.dims_in, self.n_params)
+        return rqs.binned_constrain(
+            theta, self.bins, tuple(self.min_bin_sizes), tuple(self.default_domain),
+            self.identity_tails, self.domain_clamping,
+        )
+
+    def forward(self, x, c=None):
+        return rqs.binned_rqs(x, self._params(c, x.shape[0]), rev=False)
+
+    def inverse(self, y, c=None):
+        return rqs.binned_rqs(y, self._params(c, y.shape[0]), rev=True)
+
+    def __call__(self, x, c=None):
+        return self.forward(x, c)

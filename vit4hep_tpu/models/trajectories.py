@@ -34,6 +34,10 @@ def sine2_cosine2_trajectory(x_0, x_1, t):
 
 
 def vp_trajectory(x_0, x_1, t, a=19.9, b=0.1):
+    # NOTE: e_dot below reproduces the reference formula verbatim
+    # (models/trajectories.py:39), which differs from the analytic
+    # derivative d/dt[e] = 0.5*a*(1-t) + 0.5*b; kept for bit-parity —
+    # this interpolant is unreachable from any shipped config anyway.
     e = -0.25 * a * (1 - t) ** 2 - 0.5 * b * (1 - t)
     alpha_t = jnp.exp(e)
     beta_t = jnp.sqrt(1 - alpha_t**2)
