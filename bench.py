@@ -68,12 +68,16 @@ def _flops_per_shower() -> float:
 def bench_jax() -> tuple[float, float]:
     """Returns (showers/sec, implied TFLOP/s).
 
-    Timing uses block_until_ready. On a healthy TPU attachment that is exact;
-    through a broken/async tunnel it can overreport, which the implied-TFLOPs
-    figure exposes (a v5e peaks at ~394 bf16 TFLOP/s — anything far above is
-    a timing artifact, not real throughput).
+    Each timed iteration ends in a device->host fetch of a scalar reduction of
+    the sample, so the measurement is an exact synchronization (on some
+    tunneled attachments ``block_until_ready`` returns before execution). The
+    first fetch of a process can pay a large backlog penalty on a degraded
+    tunnel — it is absorbed by a warm-up fetch before timing. The
+    implied-TFLOPs figure still flags any residual timing artifact (a v5e
+    peaks at ~200 bf16 TFLOP/s).
     """
     import jax
+    import jax.numpy as jnp
 
     from vit4hep_tpu.utils.config import instantiate
 
@@ -82,15 +86,19 @@ def bench_jax() -> tuple[float, float]:
     params = model.init_params(key)
     cond = jax.device_put(np.random.randn(BATCH, 46).astype(np.float32))
 
-    fn = jax.jit(lambda p, c, k: model.sample_batch(p, c, k))
+    # warm-up fetch: absorbs the first-transfer/backlog penalty of the link
+    float(jnp.zeros(()))
+
+    # scalar output -> the per-iteration sync is a 4-byte transfer
+    fn = jax.jit(lambda p, c, k: jnp.sum(model.sample_batch(p, c, k)))
     for i in range(N_WARMUP):
-        fn(params, cond, jax.random.fold_in(key, i)).block_until_ready()
+        float(fn(params, cond, jax.random.fold_in(key, i)))
 
     t0 = time.perf_counter()
     for i in range(N_ITERS):
-        out = fn(params, cond, jax.random.fold_in(key, 1000 + i))
-    out.block_until_ready()
+        s = float(fn(params, cond, jax.random.fold_in(key, 1000 + i)))
     dt = time.perf_counter() - t0
+    assert np.isfinite(s)
     rate = BATCH * N_ITERS / dt
     return rate, rate * _flops_per_shower() / 1e12
 
