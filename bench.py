@@ -52,7 +52,7 @@ DS2_MODEL_CFG = {
             "checkpoint_grads": False,
             "num_patches": [[15, 1, 9]],
             "patch_dim": 48,
-            "compute_dtype": "bfloat16",
+            "compute_dtype": "float32",
         },
     },
 }
