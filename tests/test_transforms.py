@@ -169,7 +169,7 @@ def test_add_angular_bins_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     n_vox = 2 * 1 + 2 * 4  # 10
     x = np.abs(rng.normal(size=(3, n_vox + 2)))  # + 2 u's
-    tr = T.AddAngularBins(str(xml), "electron", num_bins=[1, 4], add_bins=[4, 4])
+    tr = T.AddAngularBins(xml_filename="electron", ptype=str(xml), num_bins=[1, 4], add_bins=[4, 4])  # config kwarg convention (swapped, as in the reference)
     y, _ = tr(x.copy(), None)
     assert y.shape == (3, 2 * 4 + 2 * 4 + 2)
     back, _ = tr(y, None, rev=True)
@@ -213,3 +213,23 @@ def test_full_ds2_style_pipeline_roundtrip(tmp_path, geometry, showers):
     np.testing.assert_allclose(c, e, rtol=1e-6)
     # voxels recovered up to logit regularization error on zeros
     np.testing.assert_allclose(x, s, rtol=1e-3, atol=2e-4 * float(e.max()) * 1e-3)
+
+
+def test_add_angular_bins_config_convention(tmp_path):
+    """Instantiation through build_pipeline with the shipped configs' swapped
+    kwargs (ptype = XML path, xml_filename = particle) must work."""
+    from tests.conftest import make_binning_xml
+    import vit4hep_tpu.data.calochallenge.transforms as T
+
+    xml = make_binning_xml(tmp_path / "b.xml", n_layers=2, n_r=2, n_alpha=4)
+    steps = T.build_pipeline(
+        {"AddAngularBins": {
+            "ptype": str(xml), "xml_filename": "electron",
+            "num_bins": [4, 4], "add_bins": [4, 4],
+        }},
+        run_dir=str(tmp_path),
+    )
+    sh = np.random.default_rng(0).random((3, 16 + 2)).astype(np.float32)
+    out, _ = steps[0](sh.copy(), None)
+    back, _ = steps[0](out, None, rev=True)
+    np.testing.assert_allclose(back, sh, rtol=1e-6)

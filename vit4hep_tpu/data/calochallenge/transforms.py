@@ -349,7 +349,11 @@ class AddAngularBins:
     are static, so they are precomputed here instead of captured in forward."""
 
     def __init__(self, xml_filename, ptype, num_bins, add_bins):
-        self.xml = XMLHandler(particle_name=ptype, filename=xml_filename)
+        # NB the shipped configs swap these kwargs (ptype carries the XML path,
+        # xml_filename the particle name — e.g. calochallenge_ds1_photons.yaml);
+        # the reference's positional XMLHandler call absorbs the swap
+        # (transforms.py:413) and so must we for config compatibility.
+        self.xml = XMLHandler(particle_name=xml_filename, filename=ptype)
         self.layer_boundaries = np.unique(self.xml.GetBinEdges())
         self.num_bins = np.array(num_bins)
         self.add_bins = np.array(add_bins)
