@@ -40,10 +40,25 @@ def load_checkpoint(path, target=None):
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
         template = jax.tree.map(lambda x: np.asarray(x), target)
+        # a partial template (e.g. only {"params": ...} out of a full train
+        # state) is allowed: restore just the requested subtree
         try:
-            return ckptr.restore(os.fspath(path), item=template)
-        except TypeError:  # newer orbax: item= removed
+            return ckptr.restore(
+                os.fspath(path),
+                args=ocp.args.PyTreeRestore(item=template, partial_restore=True),
+            )
+        except TypeError:  # older orbax: no partial_restore / no args=
+            pass
+        try:
             return ckptr.restore(
                 os.fspath(path), args=ocp.args.PyTreeRestore(item=template)
             )
+        except (TypeError, ValueError):
+            pass
+        try:
+            return ckptr.restore(os.fspath(path), item=template)
+        except TypeError:
+            # last resort: restore everything and pick the template's subtree
+            full = ckptr.restore(os.fspath(path))
+            return {k: full[k] for k in template} if isinstance(template, dict) else full
     return ckptr.restore(os.fspath(path))
