@@ -193,3 +193,41 @@ def test_ar_transformer_loss_and_sampling():
     sample = model.sample_batch(params, c, jax.random.PRNGKey(2))
     assert sample.shape == (6, 4)
     assert np.isfinite(np.asarray(sample)).all()
+
+
+def test_fused_mlp_block_equivalence():
+    """fused_mlp=True produces the same outputs and the same param tree as the
+    unfused DiT block (checkpoint compatible)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit4hep_tpu.models.vit import ViT
+
+    base = {"dim": 3, "condition_dim": 4, "hidden_dim": 48, "depth": 2,
+            "num_heads": 2, "mlp_ratio": 2.0, "num_patches": [[3, 2, 2]],
+            "patch_dim": 6, "learn_pos_embed": True}
+    net_a = ViT(base)
+    net_b = ViT({**base, "fused_mlp": True})
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(k, 1), (4, 12, 6))
+    t = jnp.full((4, 1), 0.3)
+    c = jax.random.normal(jax.random.fold_in(k, 2), (4, 4))
+    params = net_a.init(k, x, t, c)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        net_b.init(k, x, t, c)
+    )
+    params["params"]["final_layer"]["Dense_0"]["kernel"] = (
+        jax.random.normal(k, params["params"]["final_layer"]["Dense_0"]["kernel"].shape) * 0.1
+    )
+    out_a = net_a.apply(params, x, t, c)
+    out_b = net_b.apply(params, x, t, c)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a), rtol=5e-4, atol=1e-5)
+    # gradients flow through the custom VJP
+    g = jax.grad(lambda p: jnp.mean(net_b.apply(p, x, t, c) ** 2))(params)
+    g_ref = jax.grad(lambda p: jnp.mean(net_a.apply(p, x, t, c) ** 2))(params)
+    np.testing.assert_allclose(
+        np.asarray(g["params"]["block_0"]["MlpBlock_0"]["Dense_0"]["kernel"]),
+        np.asarray(g_ref["params"]["block_0"]["MlpBlock_0"]["Dense_0"]["kernel"]),
+        rtol=1e-3, atol=1e-6,
+    )

@@ -65,8 +65,10 @@ class ViTParams:
     # ViT1D extras (nn/vit.py:221-229)
     prod_num_patches: int = 15 * 4 * 9
     x_out: int | None = None
-    # TPU-specific: attention implementation ("auto" | "flash" | "xla")
+    # TPU-specific: attention implementation ("auto" | "flash" | "xla") and
+    # the fused Pallas adaLN-MLP path (checkpoint-compatible either way)
     attn_impl: str = "auto"
+    fused_mlp: bool = False
     compute_dtype: str = "float32"
     # fine-tuning mappers (reference experiment_finetuning.py:75-139): when
     # in_patch_dim is set, a Dense(in_patch_dim -> patch_dim) + SiLU mapper is
@@ -116,6 +118,43 @@ class MlpBlock(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for nn.Dense (same param names/shapes), used by
+    the fused MLP path so checkpoints stay interchangeable with the unfused
+    layout."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", xavier, (self.in_dim, self.out_dim))
+        bias = self.param("bias", zeros, (self.out_dim,))
+        return kernel, bias
+
+
+class FusedMlpHalf(nn.Module):
+    """adaLN-MLP half of the DiT block as one Pallas kernel
+    (vit4hep_tpu/ops/fused_mlp.py): LN + modulate + Dense/GELU/Dense + gate +
+    residual without intermediate HBM round trips. Param tree matches
+    MlpBlock's (Dense_0/Dense_1) so the flag can be flipped on existing runs.
+    """
+
+    in_dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, shift, scale, gate):
+        from vit4hep_tpu.ops.fused_mlp import fused_mlp_half
+
+        w1, b1 = _DenseParams(self.in_dim, self.hidden, name="Dense_0")()
+        w2, b2 = _DenseParams(self.hidden, self.in_dim, name="Dense_1")()
+        return fused_mlp_half(
+            x.astype(jnp.float32), shift.astype(jnp.float32),
+            scale.astype(jnp.float32), gate.astype(jnp.float32), w1, b1, w2, b2,
+        )
+
+
 class Attention(nn.Module):
     """Fused MHSA; replaces reference nn/vit.py:397-454."""
 
@@ -146,6 +185,7 @@ class DiTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     attn_impl: str = "auto"
+    fused_mlp: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -159,9 +199,14 @@ class DiTBlock(nn.Module):
         attn = Attention(
             self.hidden, self.num_heads, attn_impl=self.attn_impl, dtype=self.dtype
         )
-        mlp = MlpBlock(int(self.hidden * self.mlp_ratio), self.hidden, dtype=self.dtype)
         x = x + gate_msa[:, None, :] * attn(modulate(norm(x), shift_msa, scale_msa), mask)
-        x = x + gate_mlp[:, None, :] * mlp(modulate(norm(x), shift_mlp, scale_mlp))
+        if self.fused_mlp:
+            x = FusedMlpHalf(
+                self.hidden, int(self.hidden * self.mlp_ratio), name="MlpBlock_0"
+            )(x, shift_mlp, scale_mlp, gate_mlp)
+        else:
+            mlp = MlpBlock(int(self.hidden * self.mlp_ratio), self.hidden, dtype=self.dtype)
+            x = x + gate_mlp[:, None, :] * mlp(modulate(norm(x), shift_mlp, scale_mlp))
         return x
 
 
@@ -246,7 +291,8 @@ class _ViTBase(nn.Module):
         for i in range(p.depth):
             x = block_cls(
                 p.hidden_dim, p.num_heads, mlp_ratio=p.mlp_ratio,
-                attn_impl=p.attn_impl, dtype=p.dtype, name=f"block_{i}",
+                attn_impl=p.attn_impl, fused_mlp=p.fused_mlp, dtype=p.dtype,
+                name=f"block_{i}",
             )(x, c, mask)
         return x
 
