@@ -36,10 +36,13 @@ def xla_attention(q, k, v, mask=None):
 def dot_product_attention(q, k, v, mask=None, impl="auto"):
     """Scaled dot-product attention. q, k, v: (B, H, N, D)."""
     if impl == "auto":
-        # flash pays off once the score matrix stops fitting comfortably in VMEM
-        # and there is enough parallel work; below that XLA's fused softmax wins.
+        # measured on v5e: XLA's fused attention wins at every shipped sequence
+        # length (ds2 135: 181 vs 137 showers/s; ds3 450: 38.7 vs 24.8) — the
+        # flash kernel pays lane padding at head_dim 80 and loop overhead.
+        # flash only becomes necessary when the (N, N) score tensor itself is
+        # prohibitive, i.e. very long sequences (unpatched grids).
         n = q.shape[-2]
-        impl = "flash" if n >= 256 else "xla"
+        impl = "flash" if n >= 1024 else "xla"
     if impl == "xla":
         return xla_attention(q, k, v, mask)
     if impl == "flash":
