@@ -359,10 +359,17 @@ class BaseExperiment:
             dt = time.time() - self.training_start_time
             if step in (0, 9, 999) or validating:
                 dt_estimate = dt * iterations / (step + 1)
+                # include the loss so a run without mlflow/JSONL tracking
+                # still shows training progress in the plain log
+                loss_str = (
+                    f", val loss {val_loss:.5f}" if validating
+                    else f", train loss {float(metrics['loss']):.5f}"
+                    if "loss" in metrics else ""
+                )
                 LOGGER.info(
                     f"Finished iteration {step + 1} after {dt:.2f}s, "
                     f"training time estimate: {dt_estimate / 60:.2f}min "
-                    f"= {dt_estimate / 60**2:.2f}h"
+                    f"= {dt_estimate / 60**2:.2f}h{loss_str}"
                 )
 
         self._drain_metrics(pending, log_every)

@@ -79,12 +79,25 @@ class ViTParams:
     in_condition_dim: int | None = None
     out_patch_dim: int | None = None
 
+    # reference-config knobs that are accepted but have no TPU equivalent
+    # (reference nn/vit.py:52-70): silently ignore these, warn on anything
+    # else unknown so a typo'd real option doesn't no-op invisibly.
+    _IGNORED_REFERENCE_KEYS = frozenset({
+        "use_torch_sdpa", "use_rotary_emb", "dropout", "attn_drop", "proj_drop",
+    })
+
     @classmethod
     def create(cls, param: dict) -> "ViTParams":
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in dict(param).items() if k in known}
-        # accepted-but-ignored reference knobs: use_torch_sdpa, use_rotary_emb,
-        # temperature-less keys etc. are filtered above.
+        unknown = set(dict(param)) - known - cls._IGNORED_REFERENCE_KEYS
+        if unknown:
+            import logging
+
+            logging.getLogger("vit4hep-tpu").warning(
+                "ViTParams: ignoring unknown net.param keys %s (typo?)",
+                sorted(unknown),
+            )
         if "num_patches" in kwargs:
             kwargs["num_patches"] = _normalize_num_patches(kwargs["num_patches"])
         if "mlp_ratio" in kwargs:

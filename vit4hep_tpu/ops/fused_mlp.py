@@ -1,10 +1,18 @@
 """Fused adaLN-MLP half of the DiT block as one Pallas TPU kernel.
 
 The XLA version of ``x + gate * MLP(modulate(LN(x), shift, scale))`` makes
-several HBM round trips over the (B, T, H) activation plus the (B, T, 4H)
-hidden tensor. This kernel keeps everything for one batch element's tokens in
-VMEM: LayerNorm (no affine), adaLN modulation, the two matmuls with GELU, the
-gate and the residual — one read of x, one write of y.
+an HBM round trip over the (B, T, 4H) hidden tensor (matmul cannot fuse into
+matmul). This kernel streams groups of batch elements through VMEM instead:
+LayerNorm (no affine), adaLN modulation, the two matmuls with GELU, the gate
+and the residual — one read of x, one write of y, weights resident.
+
+Measured on v5e at the ds2 headline shape (256x135x480, RK4 sampling): the
+kernel reaches 163 showers/s vs 182 showers/s for the unfused XLA path —
+the block is compute/VPU-bound there, not HBM-bound, so saving the hidden
+round trip does not pay for the in-kernel f32 materialisations. It is
+therefore OPT-IN (``fused_mlp`` in ViTParams, default False); the win case
+is long sequences / low arithmetic-intensity regimes where the (B, T, 4H)
+traffic dominates.
 
 Forward-only as a kernel; the backward pass is the VJP of the numerically
 identical pure-jnp reference (:func:`mlp_half_reference`), so training works
@@ -21,6 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _interpret() -> bool:
@@ -43,45 +52,70 @@ def mlp_half_reference(x, shift, scale, gate, w1, b1, w2, b2):
     return x + gate[:, None, :] * h
 
 
-def _kernel(x_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, hidden):
-    x = x_ref[0].astype(jnp.float32)  # (T_pad, H)
-    mod = mod_ref[0].astype(jnp.float32)  # (3, H): shift, scale, gate
-    shift, scale, gate = mod[0], mod[1], mod[2]
+def _kernel(x_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+            t_pad, f_chunks):
+    """One grid step processes G batch elements' tokens at once.
+
+    x_ref:  (G, T_pad, H) -> rows = G*T_pad for the matmuls
+    mod_ref: (G, 3, H)    -> per-element modulation via (G, 1, H) broadcast
+                             (no materialised (rows, H) repeat: VMEM stack)
+    The hidden dim is processed in ``f_chunks`` column chunks so the
+    (rows, F) intermediate never exceeds the VMEM budget.
+    """
+    g, t, hdim = x_ref.shape
+    rows = g * t
+    x = x_ref[...].astype(jnp.float32)  # (G, T, H)
+    mod = mod_ref[...].astype(jnp.float32)  # (G, 3, H)
 
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
     u = (x - mu) * jax.lax.rsqrt(var + 1e-6)
-    h = u * (1.0 + scale)[None, :] + shift[None, :]
+    h_in = (u * (1.0 + mod[:, 1:2, :]) + mod[:, 0:1, :]).reshape(rows, hdim)
 
-    h = jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[...]
-    h = jax.nn.gelu(h, approximate=True)
-    h = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32) + b2_ref[...]
-    o_ref[0] = (x + gate[None, :] * h).astype(o_ref.dtype)
+    fdim = w1_ref.shape[1]
+    chunk = fdim // f_chunks
+    acc = jnp.zeros((rows, hdim), jnp.float32)
+    for ci in range(f_chunks):
+        sl = pl.ds(ci * chunk, chunk)
+        hc = jnp.dot(h_in, w1_ref[:, sl], preferred_element_type=jnp.float32)
+        hc = hc + b1_ref[sl][None, :]
+        hc = jax.nn.gelu(hc, approximate=True)
+        acc = acc + jnp.dot(hc, w2_ref[sl, :], preferred_element_type=jnp.float32)
+    acc = (acc + b2_ref[...][None, :]).reshape(g, t, hdim)
+    o_ref[...] = (x + mod[:, 2:3, :] * acc).astype(o_ref.dtype)
 
 
-def _fused_forward(x, shift, scale, gate, w1, b1, w2, b2):
+def _fused_forward(x, shift, scale, gate, w1, b1, w2, b2, group=16, f_chunks=1):
     b, t, hdim = x.shape
     fdim = w1.shape[1]
     t_pad = _round_up(t, 8)
-    xp = jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
+    b_pad = _round_up(b, group)
+    xp = jnp.pad(x, [(0, b_pad - b), (0, t_pad - t), (0, 0)])
     mod = jnp.stack([shift, scale, gate], axis=1)  # (B, 3, H)
+    mod = jnp.pad(mod, [(0, b_pad - b), (0, 0), (0, 0)])
 
     out = pl.pallas_call(
-        functools.partial(_kernel, hidden=fdim),
-        grid=(b,),
+        functools.partial(_kernel, t_pad=t_pad, f_chunks=f_chunks),
+        grid=(b_pad // group,),
         in_specs=[
-            pl.BlockSpec((1, t_pad, hdim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 3, hdim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, t_pad, hdim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, 3, hdim), lambda i: (i, 0, 0)),
             pl.BlockSpec((hdim, fdim), lambda i: (0, 0)),
             pl.BlockSpec((fdim,), lambda i: (0,)),
             pl.BlockSpec((fdim, hdim), lambda i: (0, 0)),
             pl.BlockSpec((hdim,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, t_pad, hdim), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, hdim), x.dtype),
+        out_specs=pl.BlockSpec((group, t_pad, hdim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, t_pad, hdim), x.dtype),
+        # the (rows, F/f_chunks) intermediates need more than the 16M default
+        # scoped-VMEM budget; a v5e core has 128M of VMEM.
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(xp, mod, w1, b1, w2, b2)
-    return out[:, :t, :]
+    return out[:b, :t, :]
 
 
 @jax.custom_vjp
