@@ -55,11 +55,15 @@ _STEPPERS = {
 NET_EVALS_PER_STEP = {"euler": 1, "midpoint": 2, "rk4": 4, "rk4_classic": 4}
 
 
-def odeint(f, y0, t0=0.0, t1=1.0, method="rk4", step_size=0.05, unroll=1):
+def odeint(f, y0, t0=0.0, t1=1.0, method="rk4", step_size=0.05, unroll=5):
     """Integrate dy/dt = f(t, y) from t0 to t1 on a fixed grid.
 
     Returns y(t1). The number of steps is static: round((t1 - t0) / step_size),
-    so the loop compiles once for a given configuration.
+    so the loop compiles once for a given configuration. ``unroll`` is passed
+    to ``lax.scan``; 5 measures ~1% faster than 1 on the ds2 sampler (v5e)
+    and plateaus beyond that — sampling programs compile once and then run
+    hundreds of batches, so the extra compile time amortizes away. Override
+    per-model via ``odeint_kwargs: {options: {unroll: N}}``.
     """
     if method not in _STEPPERS:
         raise ValueError(f"ODE method '{method}' not implemented ({list(_STEPPERS)})")
@@ -86,4 +90,6 @@ def parse_odeint_kwargs(odeint_kwargs: dict | None) -> dict:
     options = odeint_kwargs.get("options") or {}
     if "step_size" in options:
         out["step_size"] = float(options["step_size"])
+    if "unroll" in options:
+        out["unroll"] = int(options["unroll"])
     return out
