@@ -177,3 +177,29 @@ def test_native_record_cache(tmp_path, lemurs_files, rng):
     np.testing.assert_allclose(
         again["showers"], ds_ref.read_indices([0, 5, 100])[0]["showers"], rtol=1e-6
     )
+
+
+def test_native_cache_spec_forms(tmp_path, lemurs_files):
+    """normalize_spec: plain shapes, (shape, dtype) pairs, clear errors."""
+    import pytest as _pytest
+
+    from vit4hep_tpu.data.native_cache import normalize_spec, record_size_of
+    from vit4hep_tpu.data.lemurs.datasets import enable_native_cache
+
+    plain = {"incident_energy": (), "showers": (H, W, L)}
+    pairs = {"incident_energy": ((), np.float32), "showers": ((H, W, L), np.float32)}
+    assert normalize_spec(plain) == normalize_spec(pairs)
+    assert record_size_of(plain) == 4 * (1 + H * W * L)
+
+    with _pytest.raises(ValueError, match="float32"):
+        normalize_spec({"showers": ((H, W, L), np.float64)})
+    with _pytest.raises(ValueError, match="shape tuple"):
+        normalize_spec({"showers": "huge"})
+
+    # the (shape, dtype) form works end-to-end
+    ds = LEMURSDataset(lemurs_files)
+    spec = {"incident_energy": ((1,), np.float32), "incident_theta": ((1,), np.float32),
+            "incident_phi": ((1,), np.float32), "showers": ((H, W, L), np.float32)}
+    enable_native_cache(ds, tmp_path / "cache2", spec)
+    data, _ = ds.read_indices([0, 3])
+    assert data["showers"].shape == (2, H, W, L)

@@ -64,9 +64,34 @@ def _load_lib():
     return lib
 
 
+def normalize_spec(spec: dict) -> dict:
+    """Normalize a spec to {field: shape-tuple}. Accepts plain shapes
+    (``{"showers": (30, 30, 48)}``, scalars as ``()`` or ``(1,)``) and the
+    easy-to-write ``(shape, dtype)`` pairs (dtype must be float32 — the
+    cache stores flat f32 records)."""
+    out = {}
+    for key, val in spec.items():
+        if (isinstance(val, tuple) and len(val) == 2
+                and isinstance(val[0], (tuple, list))):
+            shape, dtype = val
+            if np.dtype(dtype) != np.float32:
+                raise ValueError(
+                    f"native cache field '{key}': only float32 is supported, got {dtype}"
+                )
+            val = shape
+        try:
+            out[key] = tuple(int(s) for s in val)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"native cache spec for '{key}' must be a shape tuple "
+                f"(or (shape, float32)), got {val!r}"
+            ) from None
+    return out
+
+
 def record_size_of(spec: dict) -> int:
     """Bytes per record for a {field: shape} spec (float32 fields)."""
-    return 4 * sum(int(np.prod(shape)) for shape in spec.values())
+    return 4 * sum(int(np.prod(shape)) for shape in normalize_spec(spec).values())
 
 
 def build_cache(path, batches, spec: dict):
@@ -113,7 +138,7 @@ class NativeRecordCache:
     """mmap'd record file with a GIL-free multithreaded gather."""
 
     def __init__(self, path, spec: dict, n_threads: int | None = None):
-        self.spec = {k: tuple(int(s) for s in v) for k, v in spec.items()}
+        self.spec = normalize_spec(spec)
         self.lib = _load_lib()
         self.handle = self.lib.cache_open(str(path).encode())
         if not self.handle:
