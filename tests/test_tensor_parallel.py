@@ -95,3 +95,43 @@ def test_tp_train_step():
     # params stay TP-sharded after the update
     qkv = state.params["params"]["block_0"]["Attention_0"]["Dense_0"]["kernel"]
     assert not qkv.sharding.is_fully_replicated
+
+
+def test_checkpoint_roundtrip_under_sharding(tmp_path):
+    """Save a TP-sharded train state with orbax, restore it, and re-place it on
+    the mesh: values and shardings survive (SURVEY.md section 4 item 3)."""
+    import optax
+
+    from vit4hep_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from vit4hep_tpu.experiments import train_state as ts
+
+    model = _tiny_vit_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx = optax.adamw(1e-3)
+    state = ts.create_train_state(params, tx, use_ema=True)
+
+    mesh = mesh_lib.create_mesh(num_devices=4, model_parallel=2,
+                                devices=jax.devices()[:4])
+    sharded = mesh_lib.shard_state(state, mesh)
+    # take one real step so opt state is non-trivial
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 1, 4, 4, 2)), jnp.float32)
+    c = jnp.asarray(np.random.default_rng(1).normal(size=(8, 3)), jnp.float32)
+    step = jax.jit(ts.make_train_step(
+        lambda p, xx, cc, rng: model.batch_loss(p, xx, cc, rng), tx,
+        clip_grad_value=None, clip_grad_norm=None, max_grad_norm=50.0,
+        ema_decay=0.99,
+    ))
+    sharded, _ = step(sharded, (mesh_lib.shard_batch((x, c), mesh)), jax.random.PRNGKey(1))
+
+    path = tmp_path / "ckpt"
+    save_checkpoint(path, sharded)
+    restored = load_checkpoint(path, target=jax.tree.map(np.zeros_like, sharded))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0),
+        jax.tree.map(np.asarray, sharded), restored,
+    )
+
+    # re-place on the mesh and continue training: still works, loss finite
+    resharded = mesh_lib.shard_state(jax.tree.map(jnp.asarray, restored), mesh)
+    _, m = step(resharded, mesh_lib.shard_batch((x, c), mesh), jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
