@@ -152,3 +152,29 @@ def test_loss_decreases(tmp_path, shower_file, geometry):
     first = np.mean(exp.train_loss[:10])
     last = np.mean(exp.train_loss[-10:])
     assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_sample_without_retraining(tmp_path, shower_file, geometry):
+    """`train=false warm_start_idx=K` samples an existing run without training
+    — incl. EMA disabled (None ema_params must survive the orbax round trip)."""
+    cfg = make_cfg(tmp_path, shower_file, geometry, iterations=15)
+    cfg.run_name = "run_noema"
+    cfg.ema = False
+    cfg.use_mlflow = False
+    CaloChallenge(cfg)()
+
+    cfg2 = make_cfg(tmp_path, shower_file, geometry)
+    cfg2.run_name = "run_noema"
+    cfg2.ema = False
+    cfg2.use_mlflow = False
+    cfg2.train = False
+    cfg2.warm_start_idx = 0
+    cfg2.run_idx = 0
+    cfg2.run_dir = str(tmp_path / "runs" / "TestE2E" / "run_noema")
+    exp2 = CaloChallenge(cfg2)
+    exp2()  # full_run with train=False must still init + restore the state
+    assert int(exp2.state.step) == 15
+    assert exp2.state.ema_params is None
+    samples, conds = exp2.sample_n()
+    assert samples.shape == (300, 5)
+    assert np.all(np.isfinite(samples))

@@ -166,8 +166,12 @@ class BaseExperiment:
             self._save_config("config.yaml", to_tracker=True)
             self._save_config(f"config_{self.cfg.run_idx}.yaml")
 
+        # state init (incl. warm-start restore) happens outside the train
+        # branch: `train=false plot=true warm_start_idx=K` must be able to
+        # sample/evaluate an existing run without retraining
+        # (reference base_experiment.py:71-112 loads the model in init_model)
+        self._init_optimizer()
         if self.cfg.train:
-            self._init_optimizer()
             self._init_scheduler()
             self.train()
             self._save_model()

@@ -132,10 +132,15 @@ class CaloChallenge(BaseExperiment):
 
     def _sample_in_batches(self, model, params, conds, key, batch_size):
         """Stream conditions through the jitted sampler; pad the last batch so
-        every call hits the same compiled program."""
+        every call hits the same compiled program.
+
+        All batches are dispatched before any device->host fetch (jax dispatch
+        is async), so the ODE compute of later batches overlaps the transfer
+        of earlier ones instead of serializing with it — total time is
+        max(compute, transfer) rather than their sum."""
         fn = self._sampling_fn(model)
         n = len(conds)
-        out = []
+        pending = []
         sharding = mesh_lib.batch_sharding(self.mesh)
         for i, start in enumerate(range(0, n, batch_size)):
             c = conds[start : start + batch_size]
@@ -143,9 +148,8 @@ class CaloChallenge(BaseExperiment):
             if n_real < batch_size:
                 c = np.concatenate([c, np.tile(c[-1:], (batch_size - n_real, 1))], axis=0)
             c_dev = jax.device_put(np.asarray(c, np.float32), sharding)
-            sample = fn(params, c_dev, jax.random.fold_in(key, i))
-            out.append(np.asarray(sample[:n_real]))
-        return np.concatenate(out, axis=0)
+            pending.append((fn(params, c_dev, jax.random.fold_in(key, i)), n_real))
+        return np.concatenate([np.asarray(s[:k]) for s, k in pending], axis=0)
 
     def sample_n(self):
         """Generate cfg.n_samples showers (or u-vectors for an energy model)."""

@@ -39,24 +39,38 @@ def load_checkpoint(path, target=None):
         raise FileNotFoundError(f"Cannot load checkpoint from {path}")
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
-        template = jax.tree.map(lambda x: np.asarray(x), target)
+        # None nodes (e.g. TrainState.ema_params with EMA disabled) break
+        # orbax's restore metadata; mark them PLACEHOLDER so they are skipped
+        # and come back as-is
+        template = jax.tree.map(
+            lambda x: ocp.PLACEHOLDER if x is None else np.asarray(x),
+            target,
+            is_leaf=lambda x: x is None,
+        )
+        def _unplaceholder(tree):
+            return jax.tree.map(
+                lambda x: None if x is ocp.PLACEHOLDER else x,
+                tree,
+                is_leaf=lambda x: x is ocp.PLACEHOLDER,
+            )
+
         # a partial template (e.g. only {"params": ...} out of a full train
         # state) is allowed: restore just the requested subtree
         try:
-            return ckptr.restore(
+            return _unplaceholder(ckptr.restore(
                 os.fspath(path),
                 args=ocp.args.PyTreeRestore(item=template, partial_restore=True),
-            )
+            ))
         except TypeError:  # older orbax: no partial_restore / no args=
             pass
         try:
-            return ckptr.restore(
+            return _unplaceholder(ckptr.restore(
                 os.fspath(path), args=ocp.args.PyTreeRestore(item=template)
-            )
+            ))
         except (TypeError, ValueError):
             pass
         try:
-            return ckptr.restore(os.fspath(path), item=template)
+            return _unplaceholder(ckptr.restore(os.fspath(path), item=template))
         except TypeError:
             # last resort: restore everything and pick the template's subtree
             full = ckptr.restore(os.fspath(path))
