@@ -178,3 +178,17 @@ def test_sample_without_retraining(tmp_path, shower_file, geometry):
     samples, conds = exp2.sample_n()
     assert samples.shape == (300, 5)
     assert np.all(np.isfinite(samples))
+
+
+def test_profiler_window(tmp_path, shower_file, geometry):
+    """profile=true captures a jax.profiler trace of steps [10, 20) into
+    <run_dir>/profile (SURVEY.md section 5 tracing hook)."""
+    cfg = make_cfg(tmp_path, shower_file, geometry, iterations=25)
+    cfg.run_name = "run_profile"
+    cfg.profile = True
+    cfg.use_mlflow = False
+    CaloChallenge(cfg)()
+    trace_dir = tmp_path / "runs" / "TestE2E" / "run_profile" / "profile"
+    assert trace_dir.exists()
+    # the trace lands as plugins/profile/<ts>/*.xplane.pb
+    assert list(trace_dir.rglob("*.xplane.pb"))
