@@ -179,3 +179,125 @@ def test_calohad_model():
     model = instantiate(compose("configs", "calohadronic/calohadronic").model)
     assert model.patcher.total_patches == 606
     assert model.flat_voxels == 45450
+
+
+# ---------------------------------------------------------------------------
+# experiment-level e2e (train -> checkpoint -> sample through the harness)
+# ---------------------------------------------------------------------------
+def _exp_base(tmp_path, exp_name, run_name):
+    return {
+        "exp_type": "calogan", "exp_name": exp_name, "run_name": run_name,
+        "base_dir": str(tmp_path), "seed": 3, "save": True, "use_mlflow": False,
+        "save_source": False, "ema": False, "train": True, "evaluate": False,
+        "plot": False, "dtype": "float32", "plotting": {"loss": False},
+        "warm_start_idx": None, "finetuning": False, "load_sample": False,
+        "training": {
+            "iterations": 12, "batchsize": 16, "batchsize_sample": 32,
+            "optimizer": "Adam", "lr": 1e-3, "scheduler": None,
+            "es_patience": 1000, "es_load_best_model": False,
+            "validate_every_n_steps": 6, "log_every_n_steps": 0,
+        },
+    }
+
+
+def test_calogan_experiment_e2e(tmp_path, rng):
+    from vit4hep_tpu.experiments.calogan import CaloGAN
+    from vit4hep_tpu.utils.config import Config
+
+    path = tmp_path / "gan.hdf5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("layer_0", data=rng.exponential(1.0, (64, 3, 96)) * 1e3)
+        f.create_dataset("layer_1", data=rng.exponential(1.0, (64, 12, 12)) * 1e3)
+        f.create_dataset("layer_2", data=rng.exponential(1.0, (64, 12, 6)) * 1e3)
+        f.create_dataset("energy", data=10 ** rng.uniform(3, 5, (64, 1)))
+
+    cfg = Config({**_exp_base(tmp_path, "E2E_gan", "gan"),
+        "model_type": "shape", "sample_us": False, "n_samples": 32,
+        "data": {
+            "training_file": str(path), "test_file": str(path),
+            "return_us": False,
+            "transforms": {
+                "NormalizeLayerEnergyGAN": {},
+                "ExclusiveLogitTransformGAN": {"delta": 1.0e-6, "rescale": False},
+                "GlobalStandardizeFromFileGAN": {"model_dir": None, "eps": 1.0e-10},
+                "LogEnergyGAN": {},
+                "ScaleEnergyGAN": {"e_min": 6.907755, "e_max": 13.815510},
+            },
+        },
+        "model": {
+            "_target_": "experiments.calogan.model.CaloGANCFM",
+            "shape": [504],
+            "list_shape": [[1, 96, 3], [1, 12, 12], [1, 6, 12]],
+            "list_edges": [288, 144, 72],
+            "list_patch_shape": [[1, 6, 1], [1, 2, 3], [1, 2, 3]],
+            "odeint_kwargs": {"method": "rk4", "options": {"step_size": 0.25}},
+            "net": {"_target_": "nn.vit.ViT", "param": {
+                "dim": 3, "condition_dim": 4, "hidden_dim": 36, "depth": 1,
+                "num_heads": 2, "mlp_ratio": 1.0,
+                "num_patches": [[1, 16, 3], [1, 6, 4], [1, 3, 4]], "patch_dim": 6,
+            }},
+        },
+    })
+    exp = CaloGAN(cfg)
+    exp()
+    assert int(exp.state.step) == 12
+    assert (tmp_path / "runs" / "E2E_gan" / "gan" / "models" / "model_run0").exists()
+    samples, conds = exp.sample_n()   # truth-u conditions from the test file
+    assert samples.shape[0] == 64 and np.isfinite(samples).all()
+    assert conds.shape == (64, 4)
+
+
+def test_calohadronic_experiment_e2e(tmp_path, rng):
+    from vit4hep_tpu.experiments.calohadronic import CaloHadronic
+    from vit4hep_tpu.utils.config import Config
+
+    dt = np.dtype([
+        ("energy", np.float32),
+        ("ecal", np.float32, (4, 6, 6)),
+        ("hcal", np.float32, (6, 5, 5)),
+    ])
+    events = np.zeros(48, dt)
+    events["energy"] = rng.uniform(10, 90, 48)
+    ecal = rng.exponential(1.0, (48, 4, 6, 6))
+    hcal = rng.exponential(1.0, (48, 6, 5, 5))
+    scale = events["energy"] * 0.7 / (ecal.sum((1, 2, 3)) + hcal.sum((1, 2, 3)))
+    events["ecal"] = ecal * scale[:, None, None, None]
+    events["hcal"] = hcal * scale[:, None, None, None]
+    path = tmp_path / "had.h5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("events", data=events)
+    files = {"CaloHad": [str(path)]}
+
+    cfg = Config({**_exp_base(tmp_path, "E2E_had", "had"),
+        "exp_type": "calohadronic",
+        "model_type": "shape", "sample_us": False, "n_samples": 32,
+        "data": {
+            "training_file_dict": files, "test_file_dict": files,
+            "max_files_per_worker": 1, "return_us": False, "native_cache": None,
+            "transforms": {
+                "CaloHadNormalizeByElayer": {},
+                "CaloHadExclusiveLogitTransform": {"delta": 1.0e-6, "rescale": True},
+                "CaloHadGlobalStandardizeFromFile": {"model_dir": None},
+                "CaloHadPreprocessConds": {},
+                "Reshape": {"dict_shape": {"ecal": [4, 6, 6], "hcal": [6, 5, 5]}},
+            },
+        },
+        "model": {
+            "_target_": "experiments.calohadronic.model.CaloHadCFM",
+            "shape": [294],
+            "list_shape": [[1, 6, 24], [1, 5, 30]],
+            "list_edges": [144, 150],
+            "list_patch_shape": [[1, 2, 3], [1, 1, 6]],
+            "odeint_kwargs": {"method": "rk4", "options": {"step_size": 0.25}},
+            "net": {"_target_": "nn.vit.ViT", "param": {
+                "dim": 3, "condition_dim": 11, "hidden_dim": 36, "depth": 1,
+                "num_heads": 2, "mlp_ratio": 1.0,
+                "num_patches": [[1, 3, 8], [1, 5, 5]], "patch_dim": 6,
+            }},
+        },
+    })
+    exp = CaloHadronic(cfg)
+    exp()
+    assert int(exp.state.step) == 12
+    samples, conds = exp.sample_n()
+    assert samples.shape[0] == 48 and np.isfinite(samples).all()
