@@ -301,3 +301,79 @@ def test_calohadronic_experiment_e2e(tmp_path, rng):
     assert int(exp.state.step) == 12
     samples, conds = exp.sample_n()
     assert samples.shape[0] == 48 and np.isfinite(samples).all()
+
+
+def test_calogan_finetune_e2e(tmp_path, rng):
+    """CaloGANFTCFM: backbone trained on patch_dim-6 patching, fine-tuned onto
+    a patch_dim-12 patching of the same 504-voxel geometry (mapper surgery +
+    3-group optimizer through the GAN data pipeline)."""
+    from vit4hep_tpu.experiments.calogan import CaloGAN
+    from vit4hep_tpu.experiments.calogan_finetuning import CaloGANFTCFM
+    from vit4hep_tpu.utils.config import Config
+
+    path = tmp_path / "gan.hdf5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("layer_0", data=rng.exponential(1.0, (64, 3, 96)) * 1e3)
+        f.create_dataset("layer_1", data=rng.exponential(1.0, (64, 12, 12)) * 1e3)
+        f.create_dataset("layer_2", data=rng.exponential(1.0, (64, 12, 6)) * 1e3)
+        f.create_dataset("energy", data=10 ** rng.uniform(3, 5, (64, 1)))
+
+    data = {
+        "training_file": str(path), "test_file": str(path), "return_us": False,
+        "transforms": {
+            "NormalizeLayerEnergyGAN": {},
+            "ExclusiveLogitTransformGAN": {"delta": 1.0e-6, "rescale": False},
+            "GlobalStandardizeFromFileGAN": {"model_dir": None, "eps": 1.0e-10},
+            "LogEnergyGAN": {},
+            "ScaleEnergyGAN": {"e_min": 6.907755, "e_max": 13.815510},
+        },
+    }
+
+    def model_cfg(list_patch_shape, num_patches, patch_dim):
+        return {
+            "_target_": "experiments.calogan.model.CaloGANCFM",
+            "shape": [504],
+            "list_shape": [[1, 96, 3], [1, 12, 12], [1, 6, 12]],
+            "list_edges": [288, 144, 72],
+            "list_patch_shape": list_patch_shape,
+            "odeint_kwargs": {"method": "rk4", "options": {"step_size": 0.25}},
+            "net": {"_target_": "nn.vit.ViT", "param": {
+                "dim": 3, "condition_dim": 4, "hidden_dim": 36, "depth": 1,
+                "num_heads": 2, "mlp_ratio": 1.0,
+                "num_patches": num_patches, "patch_dim": patch_dim,
+            }},
+        }
+
+    bb_cfg = Config({**_exp_base(tmp_path, "GANFT_bb", "bb"),
+        "model_type": "shape", "sample_us": False, "n_samples": 16,
+        "data": data,
+        "model": model_cfg([[1, 6, 1], [1, 2, 3], [1, 2, 3]],
+                           [[1, 16, 3], [1, 6, 4], [1, 3, 4]], 6),
+    })
+    CaloGAN(bb_cfg)()
+    bb_run = tmp_path / "runs" / "GANFT_bb" / "bb"
+    assert (bb_run / "models" / "model_run0").exists()
+
+    ft_cfg = Config({**_exp_base(tmp_path, "GANFT_tg", "ft"),
+        "exp_type": "calogan_ft_cfm",
+        "model_type": "shape", "sample_us": False, "n_samples": 16,
+        "data": data,
+        "model": model_cfg([[1, 12, 1], [1, 4, 3], [1, 2, 6]],
+                           [[1, 8, 3], [1, 3, 4], [1, 3, 2]], 12),
+        "finetuning": {
+            "backbone_cfg": str(bb_run / "config_0.yaml"),
+            "backbone_lr": 1e-5, "head_lr": 1e-3, "embedder_lr": 1e-3,
+            "map_x_embedding": True, "map_c_embedding": False,
+            "reinitialize_x_embedding": False, "reinitialize_c_embedding": False,
+            "reinitialize_pos_embedding": True, "reinitialize_final_layer": True,
+            "interpolate": False,
+        },
+    })
+    exp = CaloGANFTCFM(ft_cfg)
+    exp()
+    p = exp.state.params["params"]
+    assert "x_mapper" in p
+    assert p["x_mapper"]["kernel"].shape[0] == 12   # target patch_dim
+    assert p["x_embedder"]["kernel"].shape[0] == 6  # backbone patch_dim kept
+    samples, conds = exp.sample_n()
+    assert samples.shape[0] == 64 and np.isfinite(samples).all()
