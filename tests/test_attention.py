@@ -75,3 +75,52 @@ def test_flash_jit_and_vmapless_batch():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(xla_attention(q, k, v)), atol=2e-5
     )
+
+
+def test_scale_override_matches_default():
+    # explicit scale equal to the default must be a no-op, for both impls
+    rng = np.random.default_rng(5)
+    q, k, v = _rand_qkv(rng, 2, 2, 64, 16)
+    np.testing.assert_array_equal(
+        np.asarray(xla_attention(q, k, v, scale=16**-0.5)),
+        np.asarray(xla_attention(q, k, v)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(flash_attention(q, k, v, None, 256, 256, 16**-0.5)),
+        np.asarray(xla_attention(q, k, v)),
+        atol=2e-5,
+    )
+
+
+def test_pad_attn_heads_is_equivalent():
+    """pad_attn_heads zero-pads head_dim to the 128-lane tile inside the QKV /
+    out kernels; same param tree, numerically identical outputs and grads."""
+    from vit4hep_tpu.models.vit import ViT
+
+    param = dict(
+        dim=3, condition_dim=7, hidden_dim=96, out_channels=1, depth=2,
+        num_heads=2, mlp_ratio=2, learn_pos_embed=True, causal_attn=False,
+        num_patches=[[3, 2, 2]], patch_dim=6,
+    )
+    net_a = ViT(dict(param))
+    net_b = ViT(dict(param, pad_attn_heads=True))
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (3, 12, 6))
+    t = jax.random.uniform(jax.random.fold_in(key, 1), (3,))
+    c = jax.random.normal(jax.random.fold_in(key, 2), (3, 7))
+
+    pa = net_a.init(jax.random.PRNGKey(7), x, t, c)
+    pb = net_b.init(jax.random.PRNGKey(7), x, t, c)
+    assert jax.tree.structure(pa) == jax.tree.structure(pb)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ya = net_a.apply(pa, x, t, c)
+    yb = net_b.apply(pa, x, t, c)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-6)
+
+    ga = jax.grad(lambda p: jnp.sum(net_a.apply(p, x, t, c) ** 2))(pa)
+    gb = jax.grad(lambda p: jnp.sum(net_b.apply(p, x, t, c) ** 2))(pa)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

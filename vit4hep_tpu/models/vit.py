@@ -69,6 +69,11 @@ class ViTParams:
     # the fused Pallas adaLN-MLP path (checkpoint-compatible either way)
     attn_impl: str = "auto"
     fused_mlp: bool = False
+    # TPU-specific: zero-pad head_dim up to the 128-lane tile inside the QKV /
+    # out-projection kernels (bit-exact: padded q/k dims contribute 0 to the
+    # logits, padded v columns are dropped by zero rows of the out kernel).
+    # Param tree is unchanged, so the flag can be flipped on existing runs.
+    pad_attn_heads: bool = False
     compute_dtype: str = "float32"
     # fine-tuning mappers (reference experiment_finetuning.py:75-139): when
     # in_patch_dim is set, a Dense(in_patch_dim -> patch_dim) + SiLU mapper is
@@ -169,25 +174,61 @@ class FusedMlpHalf(nn.Module):
 
 
 class Attention(nn.Module):
-    """Fused MHSA; replaces reference nn/vit.py:397-454."""
+    """Fused MHSA; replaces reference nn/vit.py:397-454.
+
+    With ``pad_heads`` the QKV and out-projection kernels are zero-padded so
+    attention runs at a 128-multiple head_dim (the TPU lane width). Numerics
+    are bit-exact — the padded q/k dims add exact zeros to each logit dot
+    product and the padded v columns are annihilated by zero rows of the out
+    kernel — and XLA no longer retiles head slices that straddle 128-lane
+    boundaries. Param names/shapes match nn.Dense (Dense_0/Dense_1), so
+    checkpoints are interchangeable with the unpadded path.
+
+    Measured v5e ds2 (head_dim 80): SLOWER than the retile it removes
+    (134.4 vs 181.6 showers/s) — the padded tensors carry 1.6x the bytes
+    through a VPU/bandwidth-bound block (BASELINE.md). Kept opt-in for
+    other shapes/generations.
+    """
 
     hidden: int
     num_heads: int
     attn_impl: str = "auto"
+    pad_heads: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None):
         b, n, c = x.shape
         head_dim = self.hidden // self.num_heads
-        qkv = nn.Dense(
-            3 * self.hidden, use_bias=True, kernel_init=xavier, bias_init=zeros,
-            dtype=self.dtype,
-        )(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        pad = (-head_dim) % 128 if self.pad_heads else 0
+        if pad:
+            h, d, dp = self.num_heads, head_dim, head_dim + pad
+            wk, wb = _DenseParams(c, 3 * self.hidden, name="Dense_0")()
+            wk = jnp.pad(
+                wk.astype(self.dtype).reshape(c, 3, h, d), ((0, 0), (0, 0), (0, 0), (0, pad))
+            ).reshape(c, 3 * h * dp)
+            wb = jnp.pad(
+                wb.astype(self.dtype).reshape(3, h, d), ((0, 0), (0, 0), (0, pad))
+            ).reshape(3 * h * dp)
+            qkv = (x.astype(self.dtype) @ wk + wb).reshape(b, n, 3, h, dp)
+        else:
+            qkv = nn.Dense(
+                3 * self.hidden, use_bias=True, kernel_init=xavier, bias_init=zeros,
+                dtype=self.dtype,
+            )(x)
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))  # (B,H,N,D)
-        out = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
+        # the logit scale stays 1/sqrt(true head_dim) even when D is padded
+        out = dot_product_attention(
+            q, k, v, mask=mask, impl=self.attn_impl, scale=float(head_dim) ** -0.5
+        )
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, -1)
+        if pad:
+            ok, ob = _DenseParams(self.hidden, self.hidden, name="Dense_1")()
+            okp = jnp.pad(
+                ok.astype(self.dtype).reshape(h, d, self.hidden), ((0, 0), (0, pad), (0, 0))
+            ).reshape(h * dp, self.hidden)
+            return out @ okp + ob.astype(self.dtype)
         return nn.Dense(self.hidden, kernel_init=xavier, bias_init=zeros, dtype=self.dtype)(out)
 
 
@@ -199,6 +240,7 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     attn_impl: str = "auto"
     fused_mlp: bool = False
+    pad_heads: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -210,7 +252,8 @@ class DiTBlock(nn.Module):
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)
         attn = Attention(
-            self.hidden, self.num_heads, attn_impl=self.attn_impl, dtype=self.dtype
+            self.hidden, self.num_heads, attn_impl=self.attn_impl,
+            pad_heads=self.pad_heads, dtype=self.dtype,
         )
         x = x + gate_msa[:, None, :] * attn(modulate(norm(x), shift_msa, scale_msa), mask)
         if self.fused_mlp:
@@ -304,7 +347,8 @@ class _ViTBase(nn.Module):
         for i in range(p.depth):
             x = block_cls(
                 p.hidden_dim, p.num_heads, mlp_ratio=p.mlp_ratio,
-                attn_impl=p.attn_impl, fused_mlp=p.fused_mlp, dtype=p.dtype,
+                attn_impl=p.attn_impl, fused_mlp=p.fused_mlp,
+                pad_heads=p.pad_attn_heads, dtype=p.dtype,
                 name=f"block_{i}",
             )(x, c, mask)
         return x

@@ -22,9 +22,9 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
-def xla_attention(q, k, v, mask=None):
-    dim = q.shape[-1]
-    scale = dim**-0.5
+def xla_attention(q, k, v, mask=None, scale=None):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     if mask is not None:
         logits = jnp.where(mask, logits, _NEG_INF)
@@ -33,8 +33,11 @@ def xla_attention(q, k, v, mask=None):
     return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
 
 
-def dot_product_attention(q, k, v, mask=None, impl="auto"):
-    """Scaled dot-product attention. q, k, v: (B, H, N, D)."""
+def dot_product_attention(q, k, v, mask=None, impl="auto", scale=None):
+    """Scaled dot-product attention. q, k, v: (B, H, N, D).
+
+    ``scale`` overrides the default 1/sqrt(D) logit scale (used when D is
+    zero-padded to the lane width and the true head dim is smaller)."""
     if impl == "auto":
         # measured on v5e: XLA's fused attention wins at every shipped sequence
         # length (ds2 135: 181 vs 137 showers/s; ds3 450: 38.7 vs 24.8) — the
@@ -44,9 +47,9 @@ def dot_product_attention(q, k, v, mask=None, impl="auto"):
         n = q.shape[-2]
         impl = "flash" if n >= 1024 else "xla"
     if impl == "xla":
-        return xla_attention(q, k, v, mask)
+        return xla_attention(q, k, v, mask, scale=scale)
     if impl == "flash":
         from vit4hep_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask)
+        return flash_attention(q, k, v, mask, 256, 256, scale)
     raise ValueError(f"Unknown attention impl '{impl}'")

@@ -185,13 +185,16 @@ def _block_sizes(n, block_q, block_k):
     return bq, bk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def flash_attention(q, k, v, mask=None, block_q=256, block_k=256):
-    out, _ = _flash_fwd(q, k, v, mask, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention(q, k, v, mask=None, block_q=256, block_k=256, scale=None):
+    """scale overrides the 1/sqrt(head_dim) logit scale — needed when the head
+    dim is zero-padded to the lane width (models/vit.py pad_attn_heads), where
+    the true dim differs from q.shape[-1]."""
+    out, _ = _flash_fwd(q, k, v, mask, block_q, block_k, scale)
     return out
 
 
-def _flash_fwd(q, k, v, mask, block_q, block_k):
+def _flash_fwd(q, k, v, mask, block_q, block_k, scale=None):
     b, h, n, d = q.shape
     bq, bk = _block_sizes(n, block_q, block_k)
     qp, kp, vp, mp, n_pad = _prep(q, k, v, mask, bq, bk)
@@ -210,7 +213,7 @@ def _flash_fwd(q, k, v, mask, block_q, block_k):
 
     kernel = functools.partial(
         _fwd_kernel if mp is not None else _fwd_kernel_nomask,
-        scale=d**-0.5,
+        scale=d**-0.5 if scale is None else scale,
         n_real=n,
         block_k=bk,
     )
@@ -246,7 +249,7 @@ def _bwd_dq_kernel_nomask(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_re
     _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, None, dq_ref, **kw)
 
 
-def _flash_bwd(block_q, block_k, res, g):
+def _flash_bwd(block_q, block_k, scale, res, g):
     q, k, v, mask, o, lse = res
     b, h, n, d = q.shape
     bq, bk = _block_sizes(n, block_q, block_k)
@@ -256,7 +259,7 @@ def _flash_bwd(block_q, block_k, res, g):
     delta = jnp.einsum("bhnd,bhnd->bhn", g.astype(jnp.float32), o.astype(jnp.float32))
     delta = jnp.pad(delta, [(0, 0), (0, 0), (0, n_pad - n)]).reshape(bh, n_pad, 1)
 
-    scale = d**-0.5
+    scale = d**-0.5 if scale is None else scale
     full_spec = pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0))
     stat_full_spec = pl.BlockSpec((1, n_pad, 1), lambda i, j: (i, 0, 0))
 

@@ -392,6 +392,11 @@ TARGET_REMAP = {
     "experiments.calochallenge.model.CaloChallengeEnergy": (
         "vit4hep_tpu.models.calochallenge.CaloChallengeEnergyCINN"
     ),
+    # stale path in reference configs/model/cinn/cinn_nflows*.yaml:1 (module
+    # experiments.calochallenge.model does not exist upstream)
+    "experiments.calochallenge.model.CaloChallengeCINN": (
+        "vit4hep_tpu.models.calochallenge.CaloChallengeCINN"
+    ),
     "experiments.calogan.model.CaloGANCFM": "vit4hep_tpu.models.calogan.CaloGANCFM",
     "experiments.lemurs.model.LEMURSCFM": "vit4hep_tpu.models.lemurs.LEMURSCFM",
     "experiments.calohadronic.model.CaloHadCFM": (
