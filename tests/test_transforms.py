@@ -233,3 +233,45 @@ def test_add_angular_bins_config_convention(tmp_path):
     out, _ = steps[0](sh.copy(), None)
     back, _ = steps[0](out, None, rev=True)
     np.testing.assert_allclose(back, sh, rtol=1e-6)
+
+
+def test_u_only_application_leaves_pipeline_intact(tmp_path):
+    """Regression for the sample_us flow (experiments/lemurs.py): applying the
+    u_transform steps to a u-only dict (no showers) must not change how the
+    pipeline later transforms showers — the dict-protocol transforms skip
+    absent keys, and the experiments must NOT narrow fn.keys."""
+    import vit4hep_tpu.data.lemurs.transforms as LT
+
+    steps = [
+        LT.LEMURSExclusiveLogitTransform(delta=1e-6, rescale=True),
+        LT.LEMURSGlobalStandardizeFromFile(model_dir=tmp_path),
+    ]
+    rng = np.random.default_rng(0)
+    full = {
+        "showers": rng.uniform(0, 1, (4, 3, 3, 5)).astype(np.float32),
+        "extra_dims": rng.uniform(0, 1, (4, 6)).astype(np.float32),
+    }
+
+    def fwd(d):
+        d = {k: np.array(v) for k, v in d.items()}
+        for fn in steps:
+            d = fn(d)
+        return d
+
+    before = fwd(full)
+
+    # the sample_us pattern: u-only dict through the same (shared) steps
+    u_dict = {"extra_dims": np.array(full["extra_dims"])}
+    for fn in steps[::-1]:
+        u_dict = fn(u_dict, rev=True)
+    for fn in steps:
+        u_dict = fn(u_dict)
+
+    after = fwd(full)
+    np.testing.assert_array_equal(before["showers"], after["showers"])
+    np.testing.assert_array_equal(before["extra_dims"], after["extra_dims"])
+    # and every step still lists showers among its keys
+    for fn in steps:
+        assert "showers" in getattr(fn, "keys", ["showers"]), (
+            f"{type(fn).__name__} lost its shower key"
+        )

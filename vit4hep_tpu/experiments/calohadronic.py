@@ -167,14 +167,15 @@ class CaloHadronic(CaloChallenge):
             f"sample_us: Finished generating {len(u_samples)} energy samples "
             f"after {time.time() - t_0} s."
         )
+        # never narrow fn.keys on the shared pipelines: the transforms skip
+        # absent keys, and mutating keys would corrupt the later full
+        # ecal/hcal inverse in plot (see lemurs.py sample_us)
         u_dict = {"extra_dims": u_samples}
         for fn in self.energy_model_transforms[::-1]:
             if hasattr(fn, "u_transform"):
-                fn.keys = ["extra_dims"]
                 u_dict = fn(u_dict, rev=True)
         for fn in self.transforms:
             if hasattr(fn, "u_transform"):
-                fn.keys = ["extra_dims"]
                 u_dict = fn(u_dict)
         return np.asarray(u_dict["extra_dims"], np.float32)
 
@@ -227,7 +228,6 @@ class CaloHadronic(CaloChallenge):
                 if fn.__class__.__name__ == "CaloHadNormalizeByElayer":
                     break
                 if hasattr(fn, "u_transform"):
-                    fn.keys = ["extra_dims"]
                     samples_dict = fn(samples_dict, rev=True)
                     reference_dict = fn(reference_dict, rev=True)
             samples_u = np.array(samples_dict["extra_dims"])

@@ -197,14 +197,18 @@ class LEMURS(CaloChallenge):
             f"sample_us: Finished generating {len(u_samples)} energy samples "
             f"after {time.time() - t_0} s."
         )
+        # dict-protocol transforms skip keys absent from the dict, so the
+        # u-only dict is transformed correctly WITHOUT narrowing fn.keys —
+        # mutating the shared pipeline's keys here would make the later
+        # full-shower inverse (plot) silently skip the shower entries
+        # (the reference instead feeds a dummy showers tensor,
+        # reference experiments/lemurs/experiment.py:313-325)
         u_dict = {"extra_dims": u_samples}
         for fn in self.energy_model_transforms[::-1]:
             if hasattr(fn, "u_transform"):
-                fn.keys = ["extra_dims"]
                 u_dict = fn(u_dict, rev=True)
         for fn in self.transforms:
             if hasattr(fn, "u_transform"):
-                fn.keys = ["extra_dims"]
                 u_dict = fn(u_dict)
         return np.asarray(u_dict["extra_dims"], np.float32)
 
@@ -274,7 +278,6 @@ class LEMURS(CaloChallenge):
                 if fn.__class__.__name__ == "LEMURSNormalizeByElayer":
                     break
                 if hasattr(fn, "u_transform"):
-                    fn.keys = ["extra_dims"]
                     samples_dict = fn(samples_dict, rev=True)
                     reference_dict = fn(reference_dict, rev=True)
             samples_u = np.array(samples_dict["extra_dims"])
