@@ -275,3 +275,38 @@ def test_u_only_application_leaves_pipeline_intact(tmp_path):
         assert "showers" in getattr(fn, "keys", ["showers"]), (
             f"{type(fn).__name__} lost its shower key"
         )
+
+
+def test_u_only_application_leaves_gan_pipeline_intact(tmp_path):
+    """Same regression for the CaloGAN dict protocol (layer_keys)."""
+    import vit4hep_tpu.data.calogan.transforms as GT
+
+    steps = [
+        GT.ExclusiveLogitTransformGAN(delta=1e-6, rescale=True),
+        GT.GlobalStandardizeFromFileGAN(model_dir=tmp_path),
+    ]
+    rng = np.random.default_rng(1)
+    full = {
+        "layer_0": rng.uniform(0, 1, (4, 288)).astype(np.float32),
+        "layer_1": rng.uniform(0, 1, (4, 144)).astype(np.float32),
+        "layer_2": rng.uniform(0, 1, (4, 72)).astype(np.float32),
+        "extra_dims": rng.uniform(0, 1, (4, 4)).astype(np.float32),
+    }
+
+    def fwd(d):
+        d = {k: np.array(v) for k, v in d.items()}
+        for fn in steps:
+            d = fn(d)
+        return d
+
+    before = fwd(full)
+    u_dict = {"extra_dims": np.array(full["extra_dims"])}
+    for fn in steps[::-1]:
+        u_dict = fn(u_dict, rev=True)
+    for fn in steps:
+        u_dict = fn(u_dict)
+    after = fwd(full)
+    for k in full:
+        np.testing.assert_array_equal(before[k], after[k], err_msg=k)
+    for fn in steps:
+        assert "layer_0" in fn.layer_keys, f"{type(fn).__name__} lost layer keys"

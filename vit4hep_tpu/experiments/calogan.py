@@ -121,14 +121,18 @@ class CaloGAN(CaloChallenge):
             f"sample_us: Finished generating {len(u_samples)} energy samples "
             f"after {time.time() - t_0} s."
         )
+        # never narrow fn.layer_keys on the shared pipelines: our transforms
+        # skip keys absent from the dict, and the mutation would make the
+        # later full layer_0/1/2 inverse in plot() silently skip the shower
+        # layers (the reference mutates here because its transforms KeyError
+        # on missing keys — a latent upstream bug for shape+sample_us runs,
+        # reference experiments/calogan/experiment.py:201-208,230-235)
         u_dict = {"extra_dims": u_samples}
         for fn in self.energy_model_transforms[::-1]:
             if hasattr(fn, "u_transform"):
-                fn.layer_keys = ["extra_dims"]
                 u_dict = fn(u_dict, rev=True)
         for fn in self.transforms:
             if hasattr(fn, "u_transform"):
-                fn.layer_keys = ["extra_dims"]
                 u_dict = fn(u_dict)
         return np.asarray(u_dict["extra_dims"], np.float32)
 
@@ -165,7 +169,6 @@ class CaloGAN(CaloChallenge):
             for fn in self.transforms[::-1]:
                 if fn.__class__.__name__ == "NormalizeLayerEnergyGAN":
                     break
-                fn.layer_keys = ["extra_dims"]
                 samples_dict = fn(samples_dict, rev=True)
                 reference_dict = fn(reference_dict, rev=True)
             samples = samples_dict["extra_dims"]
