@@ -106,3 +106,46 @@ def test_param_groups_and_optimizer():
     head_step = float(jnp.abs(updates["params"]["final_layer"]["adaLN_modulation"]["kernel"]).mean())
     bb_step = float(jnp.abs(updates["params"]["block_0"]["adaLN_modulation"]["kernel"]).mean())
     assert head_step > 10 * bb_step
+
+
+def test_reinit_wins_over_interpolate():
+    """ds2tods3_ft sets reinitialize_x_embedding AND interpolate; the
+    reference reinitializes (its interpolate is a no-op on the fresh layer),
+    so the fine-tune net must KEEP its fresh x_embedder init."""
+    import jax
+    import numpy as np
+
+    from vit4hep_tpu.models import finetuning as FT
+    from vit4hep_tpu.models.vit import ViT
+
+    bb_param = dict(
+        dim=3, condition_dim=5, hidden_dim=36, out_channels=1, depth=1,
+        num_heads=2, mlp_ratio=2, learn_pos_embed=True,
+        num_patches=[[2, 2, 2]], patch_dim=6,
+    )
+    tgt_param = dict(bb_param, num_patches=[[3, 2, 2]], patch_dim=10)
+    cfg = _ft_cfg(reinitialize_x_embedding=True, interpolate=True)
+
+    bb_net = ViT(dict(bb_param))
+    x = np.zeros((2, 8, 6), np.float32)
+    t = np.zeros((2,), np.float32)
+    c = np.zeros((2, 5), np.float32)
+    bb_params = bb_net.init(jax.random.PRNGKey(0), x, t, c)
+
+    ft_vit = FT.build_ft_vit_params(bb_param, tgt_param, cfg)
+    from vit4hep_tpu.models.vit import ViTNet
+
+    ft_net = ViTNet(cfg=ft_vit)
+    xf = np.zeros((2, 12, 10), np.float32)
+    ft_params = ft_net.init(jax.random.PRNGKey(1), xf, t, c)
+    fresh_kernel = np.array(ft_params["params"]["x_embedder"]["kernel"])
+
+    out = FT.transfer_backbone_params(ft_params, bb_params, cfg)
+    np.testing.assert_array_equal(
+        np.array(out["params"]["x_embedder"]["kernel"]), fresh_kernel
+    )
+    # blocks still transferred from the backbone
+    np.testing.assert_array_equal(
+        np.array(out["params"]["block_0"]["adaLN_modulation"]["kernel"]),
+        np.array(bb_params["params"]["block_0"]["adaLN_modulation"]["kernel"]),
+    )

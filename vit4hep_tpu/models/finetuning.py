@@ -81,7 +81,11 @@ def transfer_backbone_params(ft_params, backbone_params, ft_cfg):
         if name == "x_embedder":
             if map_x:
                 ft_p[name] = value  # mapper feeds the original embedder
-            elif reinit_x and not interpolate:
+            elif reinit_x:
+                # reinit takes precedence over interpolate: in the reference,
+                # the interpolation runs on the already-reinitialized layer
+                # whose input is the target size, i.e. a no-op
+                # (experiment_finetuning.py:92-104; ds2tods3_ft sets both)
                 LOGGER.info("FT: x_embedder reinitialized")
             elif interpolate:
                 new_in = ft_p[name]["kernel"].shape[0]
@@ -95,7 +99,8 @@ def transfer_backbone_params(ft_params, backbone_params, ft_cfg):
         elif name == "c_embedder":
             if map_c:
                 ft_p[name] = value
-            elif reinit_c and not interpolate:
+            elif reinit_c:
+                # same precedence as x_embedder (reference :121-139)
                 LOGGER.info("FT: c_embedder reinitialized")
             elif interpolate:
                 sub = dict(value)
