@@ -143,3 +143,8 @@ def test_lemurs_two_stage_sample_us(tmp_path):
     assert (out >= 0).all(), "inverse pipeline left showers in logit space"
     # physical scale: layer-normalized voxels rescaled by real MeV energies
     assert out.max() > 10.0, "showers never left standardized space"
+    # exactness: LEMURSNormalizeByElayer reverse reconstructs layer energies
+    # from (Einc, u's) — total voxel energy must equal Einc * u_0
+    einc = np.asarray(samples_dict["incident_energy"]).reshape(-1)
+    u0 = np.clip(np.asarray(samples_dict["extra_dims"])[:, 0], 0.0, None)
+    np.testing.assert_allclose(out.sum(axis=(1, 2, 3)), einc * u0, rtol=2e-3)
