@@ -105,3 +105,13 @@ def test_apply_overrides_nested_creation():
     apply_overrides(cfg, ["b.c.d=hello", "a=2"])
     assert cfg.b.c.d == "hello"
     assert cfg.a == 2
+
+
+def test_apply_overrides_tilde_deletes():
+    """Hydra's ~key / ~key=value overrides delete the key (hydra override grammar)."""
+    cfg = Config({"a": 1, "b": {"c": 2, "d": 3}})
+    apply_overrides(cfg, ["~a", "~b.c=2", "~b.missing", "~x.y.z"])
+    assert "a" not in cfg
+    assert "c" not in cfg.b
+    assert cfg.b.d == 3
+    assert "x" not in cfg

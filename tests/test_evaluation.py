@@ -96,6 +96,26 @@ def test_ratio_panel_smoke(tmp_path, rng):
     assert 0 <= seps[0] < 0.1
 
 
+def test_plot_etot_einc_discrete_smoke(tmp_path, rng):
+    from types import SimpleNamespace
+
+    from vit4hep_tpu.evaluation.plots import plot_Etot_Einc_discrete
+
+    class _FakeHLF:
+        def __init__(self, n):
+            self.Einc = 2.0 ** rng.uniform(8, 23, (n, 1))
+            self._etot = self.Einc.squeeze() * rng.uniform(0.8, 1.2, n)
+
+        def GetEtot(self):
+            return self._etot
+
+    arg = SimpleNamespace(output_dir=str(tmp_path), dataset="1-photons")
+    plot_Etot_Einc_discrete(_FakeHLF(2000), _FakeHLF(2000), arg)
+    assert (tmp_path / "Etot_Einc_dataset_1-photons_E_i.pdf").exists()
+    chi2 = (tmp_path / "histogram_chi2_1-photons.txt").read_text()
+    assert chi2.count("Etot / Einc at E = ") == 15
+
+
 def test_ttv_split(rng):
     a = rng.normal(size=(100, 3))
     b = rng.normal(size=(120, 3))

@@ -1,0 +1,264 @@
+"""Cross-framework numerical parity vs the actual reference implementation.
+
+These tests import the reference's torch modules from ``/root/reference``
+(read-only mount), transfer their randomly-initialized weights into our Flax
+models via :mod:`vit4hep_tpu.utils.torch_migration`, and assert the two
+frameworks compute the same function. This is a stronger statement than the
+self-goldens in ``test_golden.py``: it pins our numerics to the reference's,
+and it exercises the torch->flax checkpoint migration path end to end.
+
+The reference imports ``timm`` and ``xformers`` at module scope (neither is in
+this image); both are stubbed with behavior-identical shims before import.
+Everything skips cleanly when ``/root/reference`` is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "nn")),
+    reason="reference checkout not available",
+)
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_vit_module():
+    """Import the reference ``nn.vit`` with timm/xformers shims installed."""
+    import torch.nn as tnn
+
+    if "timm" not in sys.modules:
+        # timm.models.vision_transformer.Mlp: fc1 -> act -> drop -> fc2 -> drop
+        # (we only need eval-mode numerics and the fc1/fc2 param names)
+        class Mlp(tnn.Module):
+            def __init__(self, in_features, hidden_features, act_layer, drop=0.0):
+                super().__init__()
+                self.fc1 = tnn.Linear(in_features, hidden_features)
+                self.act = act_layer()
+                self.fc2 = tnn.Linear(hidden_features, in_features)
+                self.drop = tnn.Dropout(drop)
+
+            def forward(self, x):
+                return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        timm_vt = types.ModuleType("timm.models.vision_transformer")
+        timm_vt.Mlp = Mlp
+        timm.models = timm_models
+        timm_models.vision_transformer = timm_vt
+        sys.modules.update({
+            "timm": timm,
+            "timm.models": timm_models,
+            "timm.models.vision_transformer": timm_vt,
+        })
+    if "xformers" not in sys.modules:
+        xf = types.ModuleType("xformers")
+        xf_ops = types.ModuleType("xformers.ops")
+
+        def memory_efficient_attention(*a, **k):  # tests use use_torch_sdpa=True
+            raise RuntimeError("xformers stub: set use_torch_sdpa=True")
+
+        xf_ops.memory_efficient_attention = memory_efficient_attention
+        xf.ops = xf_ops
+        sys.modules.update({"xformers": xf, "xformers.ops": xf_ops})
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        import nn.vit as ref_vit
+    finally:
+        sys.path.remove(REFERENCE)
+    return ref_vit
+
+
+VIT_PARAM = {
+    "dim": 3,
+    "condition_dim": 7,
+    "hidden_dim": 48,
+    "out_channels": 1,
+    "depth": 2,
+    "num_heads": 4,
+    "mlp_ratio": 2.0,
+    "learn_pos_embed": True,
+    "causal_attn": False,
+    "patch_dim": 10,
+    "num_patches": [[4, 2, 3]],
+    "use_torch_sdpa": True,
+}
+
+
+def _forward_pair(ref_vit_module, param, vit1d=False, seed=0):
+    """Build the reference net, migrate weights, run both forwards."""
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.models.vit import ViT, ViT1D
+    from vit4hep_tpu.utils.torch_migration import convert_vit_state_dict
+
+    torch.manual_seed(seed)
+    gen = np.random.default_rng(seed)
+    n_tokens = int(np.prod(param["num_patches"]))
+    x = gen.standard_normal((3, n_tokens, param["patch_dim"]), dtype=np.float32)
+    c = gen.standard_normal((3, param["condition_dim"]), dtype=np.float32)
+
+    if vit1d:
+        ref = ref_vit_module.ViT1D({**param, "prod_num_patches": n_tokens})
+        ours = ViT1D({**param, "prod_num_patches": n_tokens})
+        args_t = (torch.from_numpy(x), torch.from_numpy(c))
+        args_j = (jnp.asarray(x), jnp.asarray(c))
+    else:
+        ref = ref_vit_module.ViT(param)
+        ours = ViT(param)
+        t = gen.uniform(0, 1, (3, 1)).astype(np.float32)
+        args_t = (torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(c))
+        args_j = (jnp.asarray(x), jnp.asarray(t), jnp.asarray(c))
+
+    ref.eval()
+    with torch.no_grad():
+        out_ref = ref(*args_t).numpy()
+
+    variables = convert_vit_state_dict(ref.state_dict(), vit1d=vit1d)
+    out_ours = np.asarray(ours.apply(variables, *args_j))
+    return out_ref, out_ours
+
+
+def test_vit_forward_matches_reference(ref_vit_module):
+    """Same weights -> same velocity field, across frameworks (<=1e-5 abs).
+
+    adaLN/final layers are zero-init upstream, so perturb them to expose the
+    full depth of the network, not just the skip path.
+    """
+    torch.manual_seed(3)
+    param = dict(VIT_PARAM)
+    ref = ref_vit_module.ViT(param)
+    for name, p in ref.named_parameters():
+        if "adaLN" in name or "final_layer.linear" in name:
+            with torch.no_grad():
+                p.copy_(0.05 * torch.randn_like(p))
+
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.models.vit import ViT
+    from vit4hep_tpu.utils.torch_migration import convert_vit_state_dict
+
+    gen = np.random.default_rng(1)
+    x = gen.standard_normal((2, 24, 10), dtype=np.float32)
+    t = gen.uniform(0, 1, (2, 1)).astype(np.float32)
+    c = gen.standard_normal((2, 7), dtype=np.float32)
+    ref.eval()
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(c)).numpy()
+    out_ours = np.asarray(
+        ViT(param).apply(
+            convert_vit_state_dict(ref.state_dict()),
+            jnp.asarray(x), jnp.asarray(t), jnp.asarray(c),
+        )
+    )
+    assert out_ref.shape == out_ours.shape
+    np.testing.assert_allclose(out_ours, out_ref, atol=1e-5, rtol=1e-4)
+
+
+def test_vit_zero_init_parity(ref_vit_module):
+    """At init both frameworks output exactly zero (adaLN-Zero final layer)."""
+    out_ref, out_ours = _forward_pair(ref_vit_module, VIT_PARAM, seed=11)
+    assert np.all(out_ref == 0.0)
+    assert np.all(out_ours == 0.0)
+
+
+def test_vit_sincos_and_causal_parity(ref_vit_module):
+    """Fixed sin-cos cylindrical pos-embed + layer-causal mask, full forward."""
+    # the reference's sincos + causal paths unpack a FLAT [L, A, R]
+    # (nn/vit.py:107,497) while create_meshgrid wants the nested form —
+    # our ViTParams normalizes both, so feed the flat form to each side
+    param = {
+        **VIT_PARAM,
+        "learn_pos_embed": False,
+        "pos_embedding_coords": "cylindrical",
+        "causal_attn": True,
+        "num_patches": [4, 2, 3],
+    }
+    torch.manual_seed(5)
+    ref = ref_vit_module.ViT(param)
+    for name, p in ref.named_parameters():
+        if "adaLN" in name or "final_layer.linear" in name:
+            with torch.no_grad():
+                p.copy_(0.05 * torch.randn_like(p))
+
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.models.vit import ViT
+    from vit4hep_tpu.utils.torch_migration import convert_vit_state_dict
+
+    gen = np.random.default_rng(2)
+    x = gen.standard_normal((2, 24, 10), dtype=np.float32)
+    t = gen.uniform(0, 1, (2, 1)).astype(np.float32)
+    c = gen.standard_normal((2, 7), dtype=np.float32)
+    ref.eval()
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(c)).numpy()
+    out_ours = np.asarray(
+        ViT(param).apply(
+            convert_vit_state_dict(ref.state_dict()),
+            jnp.asarray(x), jnp.asarray(t), jnp.asarray(c),
+        )
+    )
+    np.testing.assert_allclose(out_ours, out_ref, atol=1e-5, rtol=1e-4)
+
+
+def test_vit1d_forward_matches_reference(ref_vit_module):
+    """ViT1D (cINN subnet backbone): same weights -> same output."""
+    param = {**VIT_PARAM, "x_out": 2}
+    torch.manual_seed(7)
+    n_tokens = int(np.prod(param["num_patches"]))
+    ref = ref_vit_module.ViT1D({**param, "prod_num_patches": n_tokens})
+    for name, p in ref.named_parameters():
+        if "adaLN" in name or "final_layer.linear" in name:
+            with torch.no_grad():
+                p.copy_(0.05 * torch.randn_like(p))
+
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.models.vit import ViT1D
+    from vit4hep_tpu.utils.torch_migration import convert_vit_state_dict
+
+    gen = np.random.default_rng(3)
+    x = gen.standard_normal((2, n_tokens, 10), dtype=np.float32)
+    c = gen.standard_normal((2, 7), dtype=np.float32)
+    ref.eval()
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), torch.from_numpy(c)).numpy()
+    out_ours = np.asarray(
+        ViT1D({**param, "prod_num_patches": n_tokens}).apply(
+            convert_vit_state_dict(ref.state_dict(), vit1d=True),
+            jnp.asarray(x), jnp.asarray(c),
+        )
+    )
+    np.testing.assert_allclose(out_ours, out_ref, atol=1e-5, rtol=1e-4)
+
+
+def test_timestep_embedding_parity(ref_vit_module):
+    from vit4hep_tpu.ops.pos_embed import timestep_embedding
+
+    t = np.linspace(0, 1, 9, dtype=np.float32).reshape(-1, 1)
+    ref = ref_vit_module.TimestepEmbedder.timestep_embedding(
+        torch.from_numpy(t), 256
+    ).numpy()
+    ours = np.asarray(timestep_embedding(t, 256))
+    np.testing.assert_allclose(ours, ref.reshape(ours.shape), atol=1e-6)
+
+
+def test_sincos_pos_embed_parity(ref_vit_module):
+    from vit4hep_tpu.ops.pos_embed import get_sincos_pos_embed
+
+    for coords in ("cylindrical", "cartesian"):
+        ref = ref_vit_module.get_sincos_pos_embed(coords, [5, 4, 3], 48, 3, 10000)
+        ours = np.asarray(get_sincos_pos_embed(coords, [5, 4, 3], 48, 3, 10000))
+        np.testing.assert_allclose(
+            ours, np.asarray(ref), atol=1e-5, err_msg=f"coords={coords}"
+        )

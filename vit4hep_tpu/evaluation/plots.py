@@ -154,6 +154,61 @@ def plot_Etot_Einc(hlfs, reference_class, arg, labels, input_names, p_label):
         _log_chi2(arg, input_names[i], f"Etot/Einc: separation power = {s}")
 
 
+def plot_Etot_Einc_discrete(hlf_class, reference_class, arg):
+    """Per-incident-energy E_tot/E_inc histograms for ds1's discrete spectrum.
+
+    4x4 grid, one panel per energy bin 2^8..2^22 MeV (reference
+    evaluate_plotting_helper.py:75-143; defined upstream but never dispatched
+    from evaluate.py — kept for API parity). Photons tighten the binning above
+    the fourth energy point.
+    """
+    edges = 2.0 ** np.linspace(8, 23, 16)
+    fig, axes = plt.subplots(4, 4, figsize=(10, 10))
+    fig.subplots_adjust(wspace=0.3, hspace=0.3)
+    handles, leg_labels = [], []
+    for i in range(len(edges) - 1):
+        if i > 3 and "photons" in arg.dataset:
+            bins = np.linspace(0.9, 1.1, 21)
+        else:
+            bins = np.linspace(0.4, 1.4, 21)
+        ax = axes.flat[i]
+        energy = edges[i]
+        seps_pair = []
+        for cls, style in ((reference_class, "ref"), (hlf_class, "gen")):
+            einc = np.asarray(cls.Einc).squeeze()
+            sel = (einc >= edges[i]) & (einc < edges[i + 1])
+            vals = np.asarray(cls.GetEtot())[sel] / einc[sel]
+            counts, _ = np.histogram(vals, bins=bins)
+            norm = counts / max(counts.sum(), 1)
+            seps_pair.append(norm)
+            if style == "ref":
+                ax.stairs(norm, bins, fill=True, alpha=0.2, color="k",
+                          label="reference")
+            else:
+                ax.stairs(norm, bins, color=COLORS[0], lw=1.5, label="generated")
+        if energy < 1e3:
+            energy_label = f"E = {energy:.0f} MeV"
+        elif energy < 1e6:
+            energy_label = f"E = {energy / 1e3:.1f} GeV"
+        else:
+            energy_label = f"E = {energy / 1e6:.1f} TeV"
+        ax.text(0.95, 0.95, energy_label, ha="right", va="top",
+                transform=ax.transAxes)
+        ax.set_xlabel(r"$E_{\mathrm{tot}} / E_{\mathrm{inc}}$")
+        ax.set_yticklabels([])
+        handles, leg_labels = ax.get_legend_handles_labels()
+        sep = separation_power(seps_pair[0], seps_pair[1])
+        path = os.path.join(arg.output_dir, f"histogram_chi2_{arg.dataset}.txt")
+        with open(path, "a", encoding="utf-8") as f:
+            f.write(f"Etot / Einc at E = {energy}: \n{sep}\n\n")
+    axes.flat[15].legend(handles, leg_labels, loc="center", fontsize=16)
+    axes.flat[15].axis("off")
+    fig.savefig(os.path.join(arg.output_dir,
+                             f"Etot_Einc_dataset_{arg.dataset}_E_i.pdf"),
+                dpi=300, format="pdf")
+    plt.close(fig)
+
+
 def plot_E_layers(hlfs, reference_class, arg, labels, input_names, p_label):
     """Per-layer deposited energy, log bins from min_energy (reference :522-541)."""
     path = os.path.join(arg.output_dir, f"E_layer_dataset_{arg.dataset}.pdf")

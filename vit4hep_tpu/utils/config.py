@@ -298,7 +298,8 @@ def _parse_override_value(v: str):
 
 def apply_overrides(cfg: Config, overrides: list[str]):
     for ov in overrides:
-        if "=" not in ov:
+        delete = ov.startswith("~")
+        if "=" not in ov and not delete:
             raise ValueError(f"Override '{ov}' is not of the form key=value")
         key, _, val = ov.partition("=")
         key = key.lstrip("+~")
@@ -306,9 +307,17 @@ def apply_overrides(cfg: Config, overrides: list[str]):
         parts = key.split(".")
         for p in parts[:-1]:
             if p not in node:
+                if delete:
+                    break
                 node[p] = {}
             node = node[p]
-        node[parts[-1]] = _parse_override_value(val)
+        else:
+            if delete:
+                # hydra "~key" / "~key=value": remove the key if present
+                if parts[-1] in node:
+                    del node[parts[-1]]
+            else:
+                node[parts[-1]] = _parse_override_value(val)
     return cfg
 
 

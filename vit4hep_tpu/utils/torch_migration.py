@@ -1,0 +1,145 @@
+"""Load reference (torch) ``.pt`` checkpoints into this framework's param trees.
+
+The reference saves ``torch.save({"model": state_dict, "optimizer", "scheduler",
+"ema"})`` (reference ``experiments/base_experiment.py:661-677``); model keys are
+``net.<param>`` (the generative model wraps its network as ``self.net``) with
+optional ``module.`` DDP prefixes (``experiments/misc.py:65-71``). This module
+converts those tensors into the Flax param tree of :class:`~vit4hep_tpu.models.
+vit.ViTNet` / :class:`ViT1DNet` so a user migrating from the torch framework
+can carry trained weights over instead of retraining.
+
+Key-by-key layout mapping (torch -> flax); every ``nn.Linear`` weight is
+transposed (torch stores ``(out, in)``, Flax ``Dense`` stores ``(in, out)``)::
+
+    x_embedder.{weight,bias}            x_embedder.{kernel,bias}
+    c_embedder.0 / c_embedder.2         c_embedder.Dense_0 / Dense_1
+    t_embedder.mlp.0 / mlp.2            t_embedder.Dense_0 / Dense_1   (ViT only)
+    pos_embed_freqs                     pos_embed_freqs
+    blocks.N.adaLN_modulation.1         block_N.adaLN_modulation
+    blocks.N.attn.qkv / attn.proj       block_N.Attention_0.Dense_0 / Dense_1
+    blocks.N.mlp.fc1 / mlp.fc2          block_N.MlpBlock_0.Dense_0 / Dense_1
+    final_layer.adaLN_modulation.1      final_layer.adaLN_modulation
+    final_layer.linear                  final_layer.Dense_0
+
+Buffers (``pos_z/pos_y/pos_x``, ``grid``, ``pos_embed``, ``attn_mask``) are
+deterministic functions of the config and are recomputed here, not loaded.
+The QKV packing order (q, k, v along the output dim) and the per-head reshape
+``(3, H, D)`` agree between the two frameworks (reference ``nn/vit.py:416,427``
+vs ``models/vit.py:Attention``), so the fused QKV kernel transfers directly.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+__all__ = [
+    "load_torch_checkpoint",
+    "strip_state_dict_prefixes",
+    "convert_vit_state_dict",
+]
+
+# buffers recomputed from the config; reference registers them in the state dict
+_BUFFER_KEYS = {"pos_z", "pos_y", "pos_x", "grid", "pos_embed", "attn_mask"}
+
+
+def _to_np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _linear(sd, key):
+    entry = {"kernel": _to_np(sd[f"{key}.weight"]).T}
+    bias_key = f"{key}.bias"
+    if bias_key in sd:
+        entry["bias"] = _to_np(sd[bias_key])
+    return entry
+
+
+def strip_state_dict_prefixes(sd, prefixes=("module.", "net.")):
+    """Strip DDP/model-wrapper prefixes (reference misc.py:65-71 strips only
+    ``module.``; ``net.`` is the generative model's network attribute)."""
+    out = {}
+    for k, v in sd.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+def load_torch_checkpoint(path, section="model"):
+    """Read a reference ``model_run<i>.pt`` and return the prefix-stripped
+    state dict of ``section`` ("model", "ema", "optimizer", "scheduler")."""
+    import torch  # CPU torch; only needed when actually migrating
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload[section] if isinstance(payload, dict) and section in payload else payload
+    if not isinstance(sd, dict):
+        raise ValueError(f"Section '{section}' of {path} is not a state dict")
+    return strip_state_dict_prefixes(sd)
+
+
+def convert_vit_state_dict(sd, vit1d=False):
+    """Convert a reference ViT/ViT1D state dict to a Flax ``{"params": ...}``
+    variable dict for :class:`ViTNet` / :class:`ViT1DNet`.
+
+    ``sd`` must already be prefix-stripped (see :func:`load_torch_checkpoint`).
+    Unknown keys raise so silent weight drops cannot happen.
+    """
+    sd = dict(sd)
+    for k in list(sd):
+        if k.split(".")[-1] in _BUFFER_KEYS or k in _BUFFER_KEYS:
+            del sd[k]
+    if vit1d:
+        # reference ViT1D inherits (and never calls) the parent's t_embedder
+        for k in list(sd):
+            if k.startswith("t_embedder."):
+                del sd[k]
+
+    params: dict = {}
+    consumed = set()
+
+    def take(torch_key, flax_path, entry=None):
+        if entry is None:
+            entry = _linear(sd, torch_key)
+            consumed.update({f"{torch_key}.weight", f"{torch_key}.bias"} & set(sd))
+        else:
+            consumed.add(torch_key)
+        node = params
+        for p in flax_path[:-1]:
+            node = node.setdefault(p, {})
+        node[flax_path[-1]] = entry
+
+    take("x_embedder", ("x_embedder",))
+    take("c_embedder.0", ("c_embedder", "Dense_0"))
+    take("c_embedder.2", ("c_embedder", "Dense_1"))
+    if not vit1d:
+        take("t_embedder.mlp.0", ("t_embedder", "Dense_0"))
+        take("t_embedder.mlp.2", ("t_embedder", "Dense_1"))
+    if "pos_embed_freqs" in sd:
+        take("pos_embed_freqs", ("pos_embed_freqs",), _to_np(sd["pos_embed_freqs"]))
+
+    depths = sorted(
+        {int(m.group(1)) for k in sd if (m := re.match(r"blocks\.(\d+)\.", k))}
+    )
+    for i in depths:
+        b = f"blocks.{i}"
+        take(f"{b}.adaLN_modulation.1", (f"block_{i}", "adaLN_modulation"))
+        take(f"{b}.attn.qkv", (f"block_{i}", "Attention_0", "Dense_0"))
+        take(f"{b}.attn.proj", (f"block_{i}", "Attention_0", "Dense_1"))
+        take(f"{b}.mlp.fc1", (f"block_{i}", "MlpBlock_0", "Dense_0"))
+        take(f"{b}.mlp.fc2", (f"block_{i}", "MlpBlock_0", "Dense_1"))
+
+    take("final_layer.adaLN_modulation.1", ("final_layer", "adaLN_modulation"))
+    take("final_layer.linear", ("final_layer", "Dense_0"))
+
+    leftover = set(sd) - consumed
+    if leftover:
+        raise ValueError(
+            "Unmapped reference parameters (layout mismatch?): "
+            + ", ".join(sorted(leftover))
+        )
+    return {"params": params}
