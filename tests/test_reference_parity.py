@@ -253,6 +253,80 @@ def test_timestep_embedding_parity(ref_vit_module):
     np.testing.assert_allclose(ours, ref.reshape(ours.shape), atol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def ref_energy_module():
+    sys.path.insert(0, REFERENCE)
+    try:
+        import nn.cfm.transformer_cfm as ref_energy
+    finally:
+        sys.path.remove(REFERENCE)
+    return ref_energy
+
+
+ENERGY_PARAM = {
+    "dims_in": 5,
+    "dims_c": 1,
+    "dim_embedding": 16,
+    "nhead": 2,
+    "num_encoder_layers": 1,
+    "num_decoder_layers": 2,
+    "dim_feedforward": 32,
+    "embeds": True,
+    "encode_t_dim": 16,
+}
+
+
+def _energy_forward_pair(ref_energy_module, param, conditional=True, seed=0):
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.models.energy_transformer import ParallelTransformer
+    from vit4hep_tpu.utils.torch_migration import convert_energy_state_dict
+
+    torch.manual_seed(seed)
+    ref = ref_energy_module.ParallelTransformer(param)
+    ref.eval()
+
+    gen = np.random.default_rng(seed)
+    x = gen.standard_normal((4, param["dims_in"]), dtype=np.float32)
+    t = gen.uniform(0, 1, (4, 1)).astype(np.float32)
+    c = gen.standard_normal((4, param["dims_c"]), dtype=np.float32) if conditional else None
+    with torch.no_grad():
+        out_ref = ref(
+            torch.from_numpy(x), torch.from_numpy(t),
+            None if c is None else torch.from_numpy(c),
+        ).numpy()
+
+    variables, config_patch = convert_energy_state_dict(ref.state_dict())
+    ours = ParallelTransformer({**param, **config_patch})
+    out_ours = np.asarray(
+        ours.apply(variables, jnp.asarray(x), jnp.asarray(t),
+                   None if c is None else jnp.asarray(c))
+    )
+    return out_ref, out_ours
+
+
+def test_energy_transformer_parity_embeds(ref_energy_module):
+    """Conditional embeds=true (the live ds2/ds3 energy configs' mode)."""
+    out_ref, out_ours = _energy_forward_pair(ref_energy_module, ENERGY_PARAM, seed=13)
+    np.testing.assert_allclose(out_ours, out_ref, atol=1e-5, rtol=1e-4)
+
+
+def test_energy_transformer_parity_onehot(ref_energy_module):
+    """Conditional embeds=false (one-hot + zero-padding embedding mode)."""
+    param = {**ENERGY_PARAM, "embeds": False, "dim_embedding": 16}
+    out_ref, out_ours = _energy_forward_pair(ref_energy_module, param, seed=17)
+    np.testing.assert_allclose(out_ours, out_ref, atol=1e-5, rtol=1e-4)
+
+
+def test_energy_transformer_parity_unconditional(ref_energy_module):
+    """Decoder-only unconditional path (reference transformer_cfm.py:100-108;
+    only well-formed for embeds=true, where d_model == 2 * dim_embedding)."""
+    out_ref, out_ours = _energy_forward_pair(
+        ref_energy_module, ENERGY_PARAM, conditional=False, seed=19
+    )
+    np.testing.assert_allclose(out_ours, out_ref, atol=1e-5, rtol=1e-4)
+
+
 def test_sincos_pos_embed_parity(ref_vit_module):
     from vit4hep_tpu.ops.pos_embed import get_sincos_pos_embed
 

@@ -13,8 +13,9 @@ Two embedding modes, selected by ``embeds`` exactly as in the reference:
   d_model = dim_embedding.
 
 The Gaussian-Fourier time features use a fixed (non-trainable) random
-projection; here it is a deterministic constant so checkpoints are
-reproducible without carrying a frozen parameter through the optimizer.
+projection; here it is a deterministic constant (or the ``fourier_w`` config
+value, e.g. from a migrated torch checkpoint) so checkpoints are reproducible
+without carrying a frozen parameter through the optimizer.
 """
 
 from __future__ import annotations
@@ -48,11 +49,20 @@ class EnergyTransformerParams:
     encode_t_dim: int = 64
     attn_impl: str = "xla"
     compute_dtype: str = "float32"
+    # Frozen Gaussian-Fourier time-projection weights (encode_t_dim // 2 of
+    # them). The reference stores these as a non-trainable random parameter in
+    # its checkpoints (transformer_cfm.py:154-165); ours default to a
+    # deterministic constant. Set explicitly (tuple/list) when migrating a
+    # torch checkpoint so the time features match the trained network.
+    fourier_w: tuple | None = None
 
     @classmethod
     def create(cls, param: dict) -> "EnergyTransformerParams":
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in dict(param).items() if k in known})
+        kwargs = {k: v for k, v in dict(param).items() if k in known}
+        if kwargs.get("fourier_w") is not None:
+            kwargs["fourier_w"] = tuple(float(w) for w in kwargs["fourier_w"])
+        return cls(**kwargs)
 
     def __post_init__(self):
         if self.embeds and self.encode_t_dim != self.dim_embedding:
@@ -123,10 +133,10 @@ class _EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.LayerNorm(dtype=self.dtype)(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             x + _MHA(self.d_model, self.nhead, dtype=self.dtype, name="self_attn")(x, x)
         )
-        x = nn.LayerNorm(dtype=self.dtype)(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             x + _FeedForward(self.d_model, self.dim_feedforward, self.activation,
                              dtype=self.dtype)(x)
         )
@@ -144,15 +154,15 @@ class _DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, memory, self_mask=None):
-        x = nn.LayerNorm(dtype=self.dtype)(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             x + _MHA(self.d_model, self.nhead, dtype=self.dtype, name="self_attn")(
                 x, x, mask=self_mask
             )
         )
-        x = nn.LayerNorm(dtype=self.dtype)(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             x + _MHA(self.d_model, self.nhead, dtype=self.dtype, name="cross_attn")(x, memory)
         )
-        x = nn.LayerNorm(dtype=self.dtype)(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             x + _FeedForward(self.d_model, self.dim_feedforward, self.activation,
                              dtype=self.dtype)(x)
         )
@@ -165,7 +175,10 @@ class ParallelTransformerNet(nn.Module):
     def _time_features(self, t):
         """Fixed Gaussian random-feature projection -> Dense (reference :39-42)."""
         p = self.cfg
-        w = np.random.default_rng(20260816).normal(size=(p.encode_t_dim // 2,)) * p.encode_t_scale
+        if p.fourier_w is not None:
+            w = np.asarray(p.fourier_w, np.float32)
+        else:
+            w = np.random.default_rng(20260816).normal(size=(p.encode_t_dim // 2,)) * p.encode_t_scale
         feats = gaussian_fourier_projection(
             t.reshape(t.shape[0], 1).astype(jnp.float32), jnp.asarray(w, jnp.float32)
         )
@@ -223,7 +236,7 @@ class ParallelTransformerNet(nn.Module):
                     p.d_model, p.nhead, p.dim_feedforward, p.activation, dtype=dt,
                     name=f"encoder_{i}",
                 )(src)
-            memory = nn.LayerNorm(dtype=dt, name="encoder_norm")(src)
+            memory = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="encoder_norm")(src)
 
         h = tgt
         for i in range(p.num_decoder_layers):
@@ -231,7 +244,7 @@ class ParallelTransformerNet(nn.Module):
                 p.d_model, p.nhead, p.dim_feedforward, p.activation, dtype=dt,
                 name=f"decoder_{i}",
             )(h, memory)
-        h = nn.LayerNorm(dtype=dt, name="decoder_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="decoder_norm")(h)
 
         t_rep = jnp.repeat(t_feats[:, None, :], h.shape[1], axis=1)
         head_in = jnp.concatenate([t_rep, h], axis=-1)

@@ -38,6 +38,7 @@ __all__ = [
     "load_torch_checkpoint",
     "strip_state_dict_prefixes",
     "convert_vit_state_dict",
+    "convert_energy_state_dict",
 ]
 
 # buffers recomputed from the config; reference registers them in the state dict
@@ -143,3 +144,97 @@ def convert_vit_state_dict(sd, vit1d=False):
             + ", ".join(sorted(leftover))
         )
     return {"params": params}
+
+
+def _layer_norm(sd, key):
+    return {"scale": _to_np(sd[f"{key}.weight"]), "bias": _to_np(sd[f"{key}.bias"])}
+
+
+def _split_in_proj(sd, key, d_model):
+    """torch MultiheadAttention packs q/k/v as rows of ``in_proj_weight``."""
+    w = _to_np(sd[f"{key}.in_proj_weight"])
+    b = _to_np(sd[f"{key}.in_proj_bias"])
+    out = {}
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        sl = slice(i * d_model, (i + 1) * d_model)
+        out[name] = {"kernel": w[sl].T, "bias": b[sl]}
+    out["out_proj"] = _linear(sd, f"{key}.out_proj")
+    return out
+
+
+def convert_energy_state_dict(sd):
+    """Convert a reference ``ParallelTransformer`` state dict (torch
+    ``nn.Transformer``, transformer_cfm.py:12-119) to Flax variables for
+    :class:`~vit4hep_tpu.models.energy_transformer.ParallelTransformerNet`.
+
+    Returns ``(variables, config_patch)``. The reference stores its frozen
+    Gaussian-Fourier time weights as a non-trainable parameter
+    (``time_embed.0.W``); here they are static config, so the caller must
+    merge ``config_patch`` (``{"fourier_w": [...]}``) into the net's
+    ``param`` dict before instantiating.
+    """
+    sd = dict(sd)
+    config_patch = {"fourier_w": _to_np(sd.pop("time_embed.0.W")).tolist()}
+    # `self.layer` and `self.layers[0]` are the same torch module, registered
+    # twice -> drop the alias entries
+    for k in list(sd):
+        if k.startswith("layer."):
+            del sd[k]
+
+    d_model = _to_np(sd["transformer.encoder.layers.0.self_attn.in_proj_bias"]).shape[0] // 3
+    params: dict = {"time_embed": _linear(sd, "time_embed.1")}
+    consumed = {"time_embed.1.weight", "time_embed.1.bias"}
+
+    for ours, theirs in (
+        ("x_embed", "x_embed"), ("c_embed", "c_embed"),
+        ("head_0", "layers.0"), ("head_1", "layers.2"),
+    ):
+        if f"{theirs}.weight" in sd:
+            params[ours] = _linear(sd, theirs)
+            consumed.update({f"{theirs}.weight", f"{theirs}.bias"})
+    for ours, theirs in (("pos_embed_x", "pos_embed_x"), ("pos_embed_c", "pos_embed_c")):
+        if f"{theirs}.weight" in sd:
+            params[ours] = {"embedding": _to_np(sd[f"{theirs}.weight"])}
+            consumed.add(f"{theirs}.weight")
+
+    def convert_stack(side, n_norms):
+        i = 0
+        while f"transformer.{side}.layers.{i}.self_attn.in_proj_weight" in sd:
+            t = f"transformer.{side}.layers.{i}"
+            layer = {"self_attn": _split_in_proj(sd, f"{t}.self_attn", d_model)}
+            consumed.update({
+                f"{t}.self_attn.in_proj_weight", f"{t}.self_attn.in_proj_bias",
+                f"{t}.self_attn.out_proj.weight", f"{t}.self_attn.out_proj.bias",
+            })
+            if side == "decoder":
+                layer["cross_attn"] = _split_in_proj(sd, f"{t}.multihead_attn", d_model)
+                consumed.update({
+                    f"{t}.multihead_attn.in_proj_weight", f"{t}.multihead_attn.in_proj_bias",
+                    f"{t}.multihead_attn.out_proj.weight", f"{t}.multihead_attn.out_proj.bias",
+                })
+            layer["_FeedForward_0"] = {
+                "Dense_0": _linear(sd, f"{t}.linear1"),
+                "Dense_1": _linear(sd, f"{t}.linear2"),
+            }
+            consumed.update({
+                f"{t}.linear1.weight", f"{t}.linear1.bias",
+                f"{t}.linear2.weight", f"{t}.linear2.bias",
+            })
+            for j in range(n_norms):
+                layer[f"LayerNorm_{j}"] = _layer_norm(sd, f"{t}.norm{j + 1}")
+                consumed.update({f"{t}.norm{j + 1}.weight", f"{t}.norm{j + 1}.bias"})
+            params[f"{side}_{i}"] = layer
+            i += 1
+        params[f"{side}_norm"] = _layer_norm(sd, f"transformer.{side}.norm")
+        consumed.update({f"transformer.{side}.norm.weight", f"transformer.{side}.norm.bias"})
+
+    convert_stack("encoder", 2)
+    convert_stack("decoder", 3)
+
+    leftover = set(sd) - consumed
+    if leftover:
+        raise ValueError(
+            "Unmapped reference parameters (layout mismatch?): "
+            + ", ".join(sorted(leftover))
+        )
+    return {"params": params}, config_patch
