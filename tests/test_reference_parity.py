@@ -336,3 +336,149 @@ def test_sincos_pos_embed_parity(ref_vit_module):
         np.testing.assert_allclose(
             ours, np.asarray(ref), atol=1e-5, err_msg=f"coords={coords}"
         )
+
+
+# ---------------------------------------------------------------------------
+# transform-pipeline and high-level-features parity (the physics core)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ref_transforms_module():
+    sys.path.insert(0, REFERENCE)
+    try:
+        import experiments.calochallenge.transforms as ref_transforms
+    finally:
+        sys.path.remove(REFERENCE)
+    return ref_transforms
+
+
+def _synthetic_geometry(tmp_path):
+    from conftest import make_binning_xml
+
+    xml = make_binning_xml(tmp_path / "binning.xml", particle="photon")
+    rng = np.random.default_rng(23)
+    n, n_vox = 64, 60
+    energy = 10 ** rng.uniform(3, 5, (n, 1)).astype(np.float32)
+    shower = rng.exponential(1.0, (n, n_vox)).astype(np.float32)
+    shower *= (rng.random((n, n_vox)) > 0.3).astype(np.float32)
+    # vary E_tot / E_inc per event so u_0 isn't a constant column (a constant
+    # u_0 makes its standardization 0/0-degenerate in both frameworks)
+    frac = rng.uniform(0.5, 0.9, (n, 1)).astype(np.float32)
+    shower = shower / shower.sum(1, keepdims=True).clip(1e-9) * energy * frac
+    return str(xml), shower, energy
+
+
+def _build_pipelines(ref_transforms_module, xml, tmp_path):
+    """Same transform spec (the ds1-photons energy pipeline) in both frameworks."""
+    import vit4hep_tpu.data.calochallenge.transforms as our_transforms
+
+    spec = [
+        ("NormalizeByElayer", {"ptype": xml, "xml_file": "photon"}),
+        ("ScaleTotalEnergy", {"factor": 0.25, "n_layers": 5}),
+        ("SelectDims", {"start": -5, "end": 0}),
+        ("ExclusiveLogitTransform", {"delta": 1.0e-6, "rescale": True}),
+        ("StandardizeUsFromFile", {"n_us": 5, "model_dir": None}),
+        ("LogEnergy", {}),
+        ("ScaleEnergy", {"e_min": 5.5452, "e_max": 15.2492}),
+    ]
+    pipelines = []
+    for module, sub in ((ref_transforms_module, "ref"), (our_transforms, "ours")):
+        run_dir = tmp_path / sub
+        run_dir.mkdir(exist_ok=True)
+        steps = []
+        for name, kwargs in spec:
+            kw = dict(kwargs)
+            if name.endswith("FromFile"):
+                kw["model_dir"] = str(run_dir)
+            steps.append(getattr(module, name)(**kw))
+        pipelines.append(steps)
+    return pipelines
+
+
+def test_energy_pipeline_parity(ref_transforms_module, tmp_path):
+    """Forward + inverse of the ds1 energy-model preprocessing chain
+    (NormalizeByElayer u-construction through ScaleEnergy) agree elementwise
+    with the reference torch implementation on the same synthetic geometry."""
+    xml, shower, energy = _synthetic_geometry(tmp_path)
+    ref_steps, our_steps = _build_pipelines(ref_transforms_module, xml, tmp_path)
+
+    s_ref, e_ref = torch.from_numpy(shower.copy()), torch.from_numpy(energy.copy())
+    for fn in ref_steps:
+        s_ref, e_ref = fn(s_ref, e_ref)
+    s_ours, e_ours = shower.copy(), energy.copy()
+    for fn in our_steps:
+        s_ours, e_ours = fn(s_ours, e_ours)
+
+    np.testing.assert_allclose(np.asarray(s_ours), s_ref.numpy(), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(e_ours), e_ref.numpy(), atol=1e-5, rtol=1e-5)
+
+    # inverse of the u-side steps (what sample_us actually inverts — the full
+    # chain's NormalizeByElayer reverse needs voxels the energy pipeline drops,
+    # reference experiment.py:225-247): recover the physical u's identically
+    for fn in reversed(ref_steps[1:]):
+        s_ref, e_ref = fn(s_ref, e_ref, rev=True)
+    for fn in reversed(our_steps[1:]):
+        s_ours, e_ours = fn(s_ours, e_ours, rev=True)
+    np.testing.assert_allclose(np.asarray(s_ours), s_ref.numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(e_ours), e_ref.numpy(), rtol=1e-5)
+
+
+def test_shape_pipeline_parity(ref_transforms_module, tmp_path):
+    """Voxel-side steps (scale, logit, cut) match the reference elementwise."""
+    xml, shower, energy = _synthetic_geometry(tmp_path)
+    import vit4hep_tpu.data.calochallenge.transforms as our_transforms
+
+    spec = [
+        ("ScaleVoxels", {"factor": 1.0e-3}),
+        ("ExclusiveLogitTransform", {"delta": 1.0e-6}),
+        ("CutValues", {"cut": 0.0, "n_layers": 5}),
+    ]
+    s_ref, e_ref = torch.from_numpy(shower.copy()), torch.from_numpy(energy.copy())
+    s_ours, e_ours = shower.copy(), energy.copy()
+    for name, kwargs in spec:
+        s_ref, e_ref = getattr(ref_transforms_module, name)(**kwargs)(s_ref, e_ref)
+        s_ours, e_ours = getattr(our_transforms, name)(**kwargs)(s_ours, e_ours)
+        np.testing.assert_allclose(
+            np.asarray(s_ours), s_ref.numpy(), atol=1e-5, rtol=1e-4, err_msg=name
+        )
+
+
+def test_high_level_features_parity(tmp_path):
+    """HLF observables (Etot, per-layer E, EC/width eta-phi, sparsity) match
+    the reference numpy implementation on the same geometry + showers."""
+    xml, shower, energy = _synthetic_geometry(tmp_path)
+    sys.path.insert(0, REFERENCE)
+    try:
+        from experiments.calo_utils.ugr_evaluation.HighLevelFeatures import (
+            HighLevelFeatures as RefHLF,
+        )
+    finally:
+        sys.path.remove(REFERENCE)
+    from vit4hep_tpu.evaluation.high_level_features import HighLevelFeatures
+
+    ref = RefHLF("photon", filename=xml)
+    ours = HighLevelFeatures("photon", filename=xml)
+    ref.CalculateFeatures(shower)
+    ours.CalculateFeatures(shower)
+
+    np.testing.assert_allclose(ours.GetEtot(), ref.GetEtot(), rtol=1e-6)
+    for layer in ref.GetElayers():
+        np.testing.assert_allclose(
+            ours.GetElayers()[layer], ref.GetElayers()[layer], rtol=1e-6
+        )
+    for layer in ref.GetECEtas():
+        np.testing.assert_allclose(
+            ours.GetECEtas()[layer], ref.GetECEtas()[layer], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            ours.GetECPhis()[layer], ref.GetECPhis()[layer], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            ours.GetWidthEtas()[layer], ref.GetWidthEtas()[layer], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            ours.GetWidthPhis()[layer], ref.GetWidthPhis()[layer], rtol=1e-4, atol=1e-5
+        )
+    for layer in ref.GetSparsity():
+        np.testing.assert_allclose(
+            ours.GetSparsity()[layer], ref.GetSparsity()[layer], rtol=1e-6
+        )
