@@ -339,6 +339,135 @@ def test_sincos_pos_embed_parity(ref_vit_module):
 
 
 # ---------------------------------------------------------------------------
+# RQS spline parity (the cINN numerics core)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ref_inn_modules():
+    """Import the reference nn.inn spline modules with a FrEIA shim."""
+    import torch.nn as tnn
+
+    if "FrEIA" not in sys.modules:
+        class InvertibleModule(tnn.Module):
+            def __init__(self, dims_in, dims_c=None):
+                super().__init__()
+                self.dims_in = dims_in
+                self.dims_c = dims_c or []
+
+        def sum_except_batch(x):
+            return x.reshape(x.shape[0], -1).sum(-1)
+
+        freia = types.ModuleType("FrEIA")
+        freia_modules = types.ModuleType("FrEIA.modules")
+        freia_base = types.ModuleType("FrEIA.modules.base")
+        freia_utils = types.ModuleType("FrEIA.utils")
+        freia_modules.InvertibleModule = InvertibleModule
+        freia_base.InvertibleModule = InvertibleModule
+        freia_modules.base = freia_base
+        freia_utils.sum_except_batch = sum_except_batch
+        freia.modules = freia_modules
+        freia.utils = freia_utils
+        sys.modules.update({
+            "FrEIA": freia,
+            "FrEIA.modules": freia_modules,
+            "FrEIA.modules.base": freia_base,
+            "FrEIA.utils": freia_utils,
+        })
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        import nn.inn.rqs_nflows as ref_nflows
+        import nn.inn.rqs_v2 as ref_v2
+    finally:
+        sys.path.remove(REFERENCE)
+    return ref_nflows, ref_v2
+
+
+def test_nflows_spline_parity(ref_inn_modules):
+    """Our f32 nflows-style RQS (Citardauq + Newton inverse) matches the
+    reference's float64 implementation, forward and inverse, incl. the
+    event-level tail gating and per-event log|J|."""
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.ops.rqs import nflows_rqs
+
+    ref_nflows, _ = ref_inn_modules
+    import torch.nn as tnn
+
+    spline = ref_nflows.SimpleRationalQuadraticSpline(
+        dims_in=[(6,)], dims_c=[], len_splits=(3, 3),
+        subnet_constructor=lambda cin, cout: tnn.Linear(cin, cout),
+        num_bins=8, bounds_init=1.0, bounds_type="LIN",
+    )
+    gen = np.random.default_rng(29)
+    n, c, nb = 64, 3, 8
+    theta = (2.0 * gen.standard_normal((n, c, 3 * nb - 1))).astype(np.float32)
+    x = gen.uniform(-1.4, 1.4, (n, c)).astype(np.float32)  # some rows outside
+
+    for rev in (False, True):
+        with torch.no_grad():
+            out_ref, ld_ref = spline._unconstrained_rational_quadratic_spline(
+                torch.from_numpy(x), torch.from_numpy(theta), rev=rev
+            )
+        out_ours, ld_ours = nflows_rqs(
+            jnp.asarray(x), jnp.asarray(theta), nb, 1.0, rev=rev, event_mask=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_ours), out_ref.numpy(), atol=2e-6, rtol=1e-5,
+            err_msg=f"rev={rev}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ld_ours), ld_ref.numpy(), atol=1e-4, rtol=1e-4,
+            err_msg=f"rev={rev}",
+        )
+
+
+def test_rqs_v2_bin_parity(ref_inn_modules):
+    """Per-bin rational-quadratic evaluation (rqs_v2.rational_quadratic_spline)
+    vs our _rq_bin: forward, f64-reference inverse, and forward log-derivative."""
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.ops.rqs import _rq_bin
+
+    _, ref_v2 = ref_inn_modules
+    gen = np.random.default_rng(31)
+    n = 256
+    xk = gen.uniform(-2, 0, n).astype(np.float32)
+    xkp = xk + gen.uniform(0.2, 2.0, n).astype(np.float32)
+    yk = gen.uniform(-2, 0, n).astype(np.float32)
+    ykp = yk + gen.uniform(0.2, 2.0, n).astype(np.float32)
+    dk = gen.uniform(0.1, 3.0, n).astype(np.float32)
+    dkp = gen.uniform(0.1, 3.0, n).astype(np.float32)
+    frac = gen.uniform(0.01, 0.99, n).astype(np.float32)
+
+    tt = torch.from_numpy
+    x = xk + frac * (xkp - xk)
+    with torch.no_grad():
+        y_ref, ld_ref = ref_v2.rational_quadratic_spline(
+            tt(x), tt(xk), tt(xkp), tt(yk), tt(ykp), tt(dk), tt(dkp), rev=False
+        )
+    y_ours, ld_ours = _rq_bin(
+        jnp.asarray(x), jnp.asarray(xk), jnp.asarray(xkp), jnp.asarray(yk),
+        jnp.asarray(ykp), jnp.asarray(dk), jnp.asarray(dkp), rev=False
+    )
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref.numpy(), atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld_ours), ld_ref.numpy(), atol=1e-5, rtol=1e-5)
+
+    # inverse: our f32 Citardauq+Newton vs the reference's float64 root
+    y = yk + frac * (ykp - yk)
+    with torch.no_grad():
+        x_ref, ld_ref = ref_v2.rational_quadratic_spline(
+            tt(y), tt(xk), tt(xkp), tt(yk), tt(ykp), tt(dk), tt(dkp),
+            rev=True, use_float64=True,
+        )
+    x_ours, ld_ours = _rq_bin(
+        jnp.asarray(y), jnp.asarray(xk), jnp.asarray(xkp), jnp.asarray(yk),
+        jnp.asarray(ykp), jnp.asarray(dk), jnp.asarray(dkp), rev=True
+    )
+    np.testing.assert_allclose(np.asarray(x_ours), x_ref.numpy(), atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_ours), ld_ref.numpy(), atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # transform-pipeline and high-level-features parity (the physics core)
 # ---------------------------------------------------------------------------
 @pytest.fixture(scope="module")
