@@ -339,6 +339,78 @@ def test_sincos_pos_embed_parity(ref_vit_module):
 
 
 # ---------------------------------------------------------------------------
+# patching parity (token ordering must match or migrated weights are wrong)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ref_cfm_model_module():
+    if "torchdiffeq" not in sys.modules:
+        tde = types.ModuleType("torchdiffeq")
+
+        def odeint(*a, **k):
+            raise RuntimeError("torchdiffeq stub: sampling not exercised here")
+
+        tde.odeint = odeint
+        sys.modules["torchdiffeq"] = tde
+    sys.path.insert(0, REFERENCE)
+    try:
+        import experiments.calochallenge.calochallenge_cfm.model as ref_model
+    finally:
+        sys.path.remove(REFERENCE)
+    return ref_model
+
+
+def test_patching_parity_ds2(ref_cfm_model_module):
+    """Single-section 3-D patching produces the identical token layout."""
+    from vit4hep_tpu.ops import patching
+
+    ref = object.__new__(ref_cfm_model_module.CaloChallengeCFM)
+    ref.patch_shape = [3, 2, 1]
+    ref.num_patches = [2, 2, 3]
+    ref.in_channels = 1
+    gen = np.random.default_rng(37)
+    x = gen.standard_normal((2, 1, 6, 4, 3), dtype=np.float32)
+    tokens_ref = ref.to_patches(torch.from_numpy(x)).numpy()
+    tokens_ours = np.asarray(patching.to_patches(x, (3, 2, 1)))
+    np.testing.assert_array_equal(tokens_ours, tokens_ref)
+    back_ref = ref.from_patches(torch.from_numpy(tokens_ref)).numpy()
+    back_ours = np.asarray(patching.from_patches(tokens_ours, (2, 2, 3), (3, 2, 1)))
+    np.testing.assert_array_equal(back_ours, back_ref)
+    np.testing.assert_array_equal(back_ours, x)
+
+
+def test_patching_parity_ds1_multisection(ref_cfm_model_module):
+    """Multi-section (ds1-style) patching: same section split, token order,
+    and flat-voxel reconstruction as the reference."""
+    from vit4hep_tpu.ops.patching import MultiSectionPatcher
+
+    list_shape = [(2, 4, 3), (4, 2, 3)]
+    list_edges = [24, 24]
+    patch_shape = [2, 2, 3]
+
+    ref = object.__new__(ref_cfm_model_module.CaloChallengeCFM_DS1)
+    ref.patch_shape = patch_shape
+    ref.in_channels = 1
+    ref.list_shape = [list(s) for s in list_shape]
+    ref.list_edges = list(list_edges)
+    ref.num_patches_per_dim = [
+        tuple(s // p for s, p in zip(shape, patch_shape)) for shape in list_shape
+    ]
+    ref.num_patches_per_layer = [int(np.prod(d)) for d in ref.num_patches_per_dim]
+
+    ours = MultiSectionPatcher(list_shape, list_edges, patch_shape, in_channels=1)
+
+    gen = np.random.default_rng(41)
+    x = gen.standard_normal((2, 1, sum(list_edges)), dtype=np.float32)
+    tokens_ref = ref.to_patches(torch.from_numpy(x)).numpy()
+    tokens_ours = np.asarray(ours.to_patches(x))
+    np.testing.assert_array_equal(tokens_ours, tokens_ref)
+    back_ref = ref.from_patches(torch.from_numpy(tokens_ref)).numpy()
+    back_ours = np.asarray(ours.from_patches(tokens_ours))
+    np.testing.assert_array_equal(back_ours, back_ref)
+    np.testing.assert_array_equal(back_ours, x)
+
+
+# ---------------------------------------------------------------------------
 # RQS spline parity (the cINN numerics core)
 # ---------------------------------------------------------------------------
 @pytest.fixture(scope="module")
