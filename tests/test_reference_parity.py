@@ -643,6 +643,118 @@ def test_shape_pipeline_parity(ref_transforms_module, tmp_path):
         )
 
 
+def _import_ref(modname):
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+
+        return importlib.import_module(modname)
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+def test_lemurs_normalize_by_elayer_parity():
+    """LEMURS u-space construction on (B, H, W, L) showers matches the
+    reference's vectorized right-to-left-cumsum implementation, fwd + rev."""
+    ref_mod = _import_ref("experiments.lemurs.transforms")
+    import vit4hep_tpu.data.lemurs.transforms as our_mod
+
+    gen = np.random.default_rng(43)
+    shower = gen.exponential(1.0, (8, 5, 5, 4)).astype(np.float32)
+    energy = gen.uniform(10, 100, (8, 1)).astype(np.float32)
+
+    d_ref = {"showers": torch.from_numpy(shower.copy()),
+             "incident_energy": torch.from_numpy(energy.copy())}
+    d_ours = {"showers": shower.copy(), "incident_energy": energy.copy()}
+    ref_fn, our_fn = ref_mod.LEMURSNormalizeByElayer(), our_mod.LEMURSNormalizeByElayer()
+    d_ref = ref_fn(d_ref)
+    d_ours = our_fn(d_ours)
+    np.testing.assert_allclose(
+        np.asarray(d_ours["extra_dims"]), d_ref["extra_dims"].numpy(), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_ours["showers"]), d_ref["showers"].numpy(), rtol=1e-5, atol=1e-7
+    )
+
+    d_ref = ref_fn(d_ref, rev=True)
+    d_ours = our_fn(d_ours, rev=True)
+    np.testing.assert_allclose(
+        np.asarray(d_ours["showers"]), d_ref["showers"].numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(d_ours["showers"]), shower, rtol=1e-3, atol=1e-4)
+
+
+def test_calogan_normalize_layer_energy_parity():
+    """CaloGAN 3-layer u-construction (layer_0/1/2 dict protocol), fwd + rev."""
+    ref_mod = _import_ref("experiments.calogan.transforms")
+    import vit4hep_tpu.data.calogan.transforms as our_mod
+
+    gen = np.random.default_rng(47)
+    layers = {
+        f"layer_{i}": gen.exponential(1.0, (8, n)).astype(np.float32)
+        for i, n in enumerate((288, 144, 72))
+    }
+    energy = gen.uniform(1, 100, (8, 1)).astype(np.float32)
+
+    d_ref = {k: torch.from_numpy(v.copy()) for k, v in layers.items()}
+    d_ref["energy"] = torch.from_numpy(energy.copy())
+    d_ours = {k: v.copy() for k, v in layers.items()}
+    d_ours["energy"] = energy.copy()
+    ref_fn, our_fn = ref_mod.NormalizeLayerEnergyGAN(), our_mod.NormalizeLayerEnergyGAN()
+    d_ref = ref_fn(d_ref)
+    d_ours = our_fn(d_ours)
+    np.testing.assert_allclose(
+        np.asarray(d_ours["extra_dims"]), d_ref["extra_dims"].numpy(), rtol=1e-5
+    )
+    for k in layers:
+        np.testing.assert_allclose(
+            np.asarray(d_ours[k]), d_ref[k].numpy(), rtol=1e-5, atol=1e-7, err_msg=k
+        )
+
+    d_ref = ref_fn(d_ref, rev=True)
+    d_ours = our_fn(d_ours, rev=True)
+    for k in layers:
+        np.testing.assert_allclose(
+            np.asarray(d_ours[k]), d_ref[k].numpy(), rtol=1e-4, atol=1e-5, err_msg=k
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_ours[k]), layers[k], rtol=1e-3, atol=1e-4, err_msg=k
+        )
+
+
+def test_calohadronic_normalize_by_elayer_parity():
+    """Joint ECal+HCal u-construction (u's span both calorimeters), fwd + rev."""
+    ref_mod = _import_ref("experiments.calohadronic.transforms")
+    import vit4hep_tpu.data.calohadronic.transforms as our_mod
+
+    gen = np.random.default_rng(53)
+    ecal = gen.exponential(1.0, (8, 3, 4, 4)).astype(np.float32)
+    hcal = gen.exponential(1.0, (8, 5, 3, 3)).astype(np.float32)
+    energy = gen.uniform(10, 90, (8, 1)).astype(np.float32)
+
+    d_ref = {"ecal": torch.from_numpy(ecal.copy()), "hcal": torch.from_numpy(hcal.copy()),
+             "energy": torch.from_numpy(energy.copy())}
+    d_ours = {"ecal": ecal.copy(), "hcal": hcal.copy(), "energy": energy.copy()}
+    ref_fn, our_fn = ref_mod.CaloHadNormalizeByElayer(), our_mod.CaloHadNormalizeByElayer()
+    d_ref = ref_fn(d_ref)
+    d_ours = our_fn(d_ours)
+    np.testing.assert_allclose(
+        np.asarray(d_ours["extra_dims"]), d_ref["extra_dims"].numpy(), rtol=1e-5
+    )
+    for k in ("ecal", "hcal"):
+        np.testing.assert_allclose(
+            np.asarray(d_ours[k]), d_ref[k].numpy(), rtol=1e-5, atol=1e-7, err_msg=k
+        )
+
+    d_ref = ref_fn(d_ref, rev=True)
+    d_ours = our_fn(d_ours, rev=True)
+    for k, orig in (("ecal", ecal), ("hcal", hcal)):
+        np.testing.assert_allclose(
+            np.asarray(d_ours[k]), d_ref[k].numpy(), rtol=1e-4, atol=1e-5, err_msg=k
+        )
+        np.testing.assert_allclose(np.asarray(d_ours[k]), orig, rtol=1e-3, atol=1e-4, err_msg=k)
+
+
 def test_high_level_features_parity(tmp_path):
     """HLF observables (Etot, per-layer E, EC/width eta-phi, sparsity) match
     the reference numpy implementation on the same geometry + showers."""
