@@ -339,6 +339,149 @@ def test_sincos_pos_embed_parity(ref_vit_module):
 
 
 # ---------------------------------------------------------------------------
+# warm start directly from a reference .pt checkpoint
+# ---------------------------------------------------------------------------
+def test_torch_checkpoint_warm_start(ref_vit_module, tmp_path):
+    """_restore_state_from_torch migrates model + EMA from a reference-format
+    model_run<i>.pt (keys net.<param>; torch_ema shadow list) into TrainState."""
+    import jax
+    import optax
+
+    from vit4hep_tpu.experiments.base import BaseExperiment
+    from vit4hep_tpu.experiments.train_state import create_train_state
+    from vit4hep_tpu.models.vit import ViT
+    from vit4hep_tpu.utils.config import Config
+    from vit4hep_tpu.utils.torch_migration import convert_vit_state_dict
+
+    torch.manual_seed(23)
+    ref = ref_vit_module.ViT(VIT_PARAM)
+    for name, p in ref.named_parameters():
+        if "adaLN" in name or "final_layer.linear" in name:
+            with torch.no_grad():
+                p.copy_(0.05 * torch.randn_like(p))
+    ckpt = {
+        "model": {f"net.{k}": v for k, v in ref.state_dict().items()},
+        "optimizer": {},
+        "scheduler": None,
+        "ema": {
+            "decay": 0.9999,
+            "num_updates": 7,
+            "shadow_params": [
+                0.5 * p.detach().clone() for p in ref.parameters() if p.requires_grad
+            ],
+        },
+    }
+    path = tmp_path / "model_run0.pt"
+    torch.save(ckpt, str(path))
+
+    ours = ViT(VIT_PARAM)
+    k = jax.random.PRNGKey(0)
+    gen = np.random.default_rng(0)
+    params = ours.init(
+        k,
+        gen.standard_normal((2, 24, 10), dtype=np.float32),
+        gen.uniform(0, 1, (2, 1)).astype(np.float32),
+        gen.standard_normal((2, 7), dtype=np.float32),
+    )
+    state = create_train_state(params, optax.adam(1e-3), use_ema=True)
+
+    class _Shim:
+        cfg = Config({"model": {"net": {"_target_": "nn.vit.ViT"}}})
+        use_ema = True
+        model = None
+
+    new_state = BaseExperiment._restore_state_from_torch(_Shim(), state, str(path))
+
+    expected = convert_vit_state_dict(
+        {k[len("net."):]: v for k, v in ckpt["model"].items()}
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), b, atol=1e-7),
+        new_state.params, expected,
+    )
+    # EMA shadows were 0.5 * params
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), 0.5 * np.asarray(b), atol=1e-7),
+        new_state.ema_params, new_state.params,
+    )
+    assert int(new_state.ema_updates) == 7
+
+
+def test_torch_pt_warm_start_e2e(ref_energy_module, tmp_path, shower_file, geometry):
+    """Drop-in migration: a run dir holding only a reference-format
+    models/model_run0.pt warm-starts `train=false` sampling end to end."""
+    from test_experiment_e2e import make_cfg
+
+    from vit4hep_tpu.experiments.calochallenge import CaloChallenge
+
+    cfg = make_cfg(tmp_path, shower_file, geometry)
+    net_param = cfg.model.net.param.to_container()
+
+    torch.manual_seed(31)
+    ref = ref_energy_module.ParallelTransformer(net_param)
+    run_dir = tmp_path / "runs" / "TestE2E" / "run_torchpt"
+    (run_dir / "models").mkdir(parents=True)
+    torch.save(
+        {
+            "model": {f"net.{k}": v for k, v in ref.state_dict().items()},
+            "optimizer": {},
+            "scheduler": None,
+            "ema": {
+                "decay": 0.999,
+                "num_updates": 11,
+                "shadow_params": [
+                    p.detach().clone() for p in ref.parameters() if p.requires_grad
+                ],
+            },
+        },
+        str(run_dir / "models" / "model_run0.pt"),
+    )
+
+    cfg.run_name = "run_torchpt"
+    cfg.use_mlflow = False
+    cfg.train = False
+    cfg.warm_start_idx = 0
+    cfg.run_idx = 0
+    cfg.run_dir = str(run_dir)
+    exp = CaloChallenge(cfg)
+    exp()
+    assert int(exp.state.ema_updates) == 11
+    assert exp.cfg.model.net.param.fourier_w is not None
+    samples, conds = exp.sample_n()
+    assert samples.shape == (300, 5)
+    assert np.all(np.isfinite(samples))
+
+
+def test_energy_ema_shadow_mapping(ref_energy_module):
+    """torch_ema shadow ordering for the energy net (shared head module,
+    frozen Fourier weights) maps onto the same tree as the model weights."""
+    from vit4hep_tpu.utils.torch_migration import (
+        convert_ema_state_dict,
+        convert_energy_state_dict,
+    )
+
+    torch.manual_seed(29)
+    ref = ref_energy_module.ParallelTransformer(ENERGY_PARAM)
+    model_sd = ref.state_dict()
+    ema_sd = {
+        "decay": 0.9999,
+        "num_updates": 3,
+        "shadow_params": [
+            0.5 * p.detach().clone() for p in ref.parameters() if p.requires_grad
+        ],
+    }
+    model_vars, _ = convert_energy_state_dict(dict(model_sd))
+    ema_vars = convert_ema_state_dict(ema_sd, dict(model_sd), "energy")
+
+    import jax
+
+    jax.tree.map(
+        lambda e, m: np.testing.assert_allclose(e, 0.5 * m, atol=1e-7),
+        ema_vars, model_vars,
+    )
+
+
+# ---------------------------------------------------------------------------
 # patching parity (token ordering must match or migrated weights are wrong)
 # ---------------------------------------------------------------------------
 @pytest.fixture(scope="module")

@@ -19,6 +19,7 @@ The runtime underneath is redesigned for TPU:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 import zipfile
@@ -218,8 +219,13 @@ class BaseExperiment:
             model_path = os.path.join(
                 self.cfg.run_dir, "models", f"model_run{self.cfg.warm_start_idx}"
             )
-            LOGGER.info(f"Loading model/optimizer/EMA state from {model_path}")
-            state = self._restore_state(state, model_path)
+            if not os.path.exists(model_path) and os.path.exists(model_path + ".pt"):
+                # a run dir produced by the reference torch framework: migrate
+                # the weights in place so sampling / fine-tuning just works
+                state = self._restore_state_from_torch(state, model_path + ".pt")
+            else:
+                LOGGER.info(f"Loading model/optimizer/EMA state from {model_path}")
+                state = self._restore_state(state, model_path)
 
         self.state = mesh_lib.shard_state(state, self.mesh)
         del self._init_params
@@ -227,6 +233,50 @@ class BaseExperiment:
     def _restore_state(self, template, path):
         restored = load_checkpoint(path, target=template)
         return jax.tree.map(lambda t, r: jnp.asarray(r, t.dtype), template, restored)
+
+    def _restore_state_from_torch(self, state, path):
+        """Warm-start from a reference (torch) ``model_run<i>.pt`` checkpoint.
+
+        Model weights and EMA shadows are converted (utils/torch_migration.py);
+        the optimizer state cannot cross frameworks and starts fresh.
+        """
+        import torch as _torch
+
+        from vit4hep_tpu.utils import torch_migration as tm
+
+        LOGGER.info(
+            f"Migrating reference torch checkpoint {path} "
+            "(model + EMA; optimizer state starts fresh)"
+        )
+        payload = _torch.load(path, map_location="cpu", weights_only=False)
+        model_sd = tm.strip_state_dict_prefixes(payload["model"])
+        kind = tm.net_kind_from_target(str(self.cfg.model.net._target_))
+        if kind == "energy":
+            variables, config_patch = tm.convert_energy_state_dict(model_sd)
+            # the frozen Gaussian-Fourier time weights are static config here;
+            # rebuild the net so its time features match the trained network
+            self.cfg.model.net.param.fourier_w = config_patch["fourier_w"]
+            self.model = instantiate(self.cfg.model)
+        else:
+            variables = tm.convert_vit_state_dict(model_sd, vit1d=(kind == "vit1d"))
+        params = jax.tree.map(
+            lambda t, r: jnp.asarray(r, t.dtype), state.params, variables
+        )
+        ema_params = state.ema_params
+        ema_updates = state.ema_updates
+        if self.use_ema and payload.get("ema") is not None:
+            ema_vars = tm.convert_ema_state_dict(payload["ema"], model_sd, kind)
+            ema_params = jax.tree.map(
+                lambda t, r: jnp.asarray(r, t.dtype), state.ema_params, ema_vars
+            )
+            ema_updates = jnp.asarray(
+                int(payload["ema"].get("num_updates") or 0), jnp.int32
+            )
+        elif self.use_ema:
+            ema_params = jax.tree.map(jnp.copy, params)
+        return dataclasses.replace(
+            state, params=params, ema_params=ema_params, ema_updates=ema_updates
+        )
 
     def _init_scheduler(self):
         # schedules are folded into the optimizer; ReduceLROnPlateau is host-driven

@@ -39,6 +39,8 @@ __all__ = [
     "strip_state_dict_prefixes",
     "convert_vit_state_dict",
     "convert_energy_state_dict",
+    "convert_ema_state_dict",
+    "net_kind_from_target",
 ]
 
 # buffers recomputed from the config; reference registers them in the state dict
@@ -238,3 +240,66 @@ def convert_energy_state_dict(sd):
             + ", ".join(sorted(leftover))
         )
     return {"params": params}, config_patch
+
+
+def net_kind_from_target(target: str) -> str:
+    """Classify a reference ``net._target_`` for checkpoint conversion."""
+    if "ViT1D" in target:
+        return "vit1d"
+    if "vit" in target.lower():
+        return "vit"
+    if "transformer_cfm" in target or "ParallelTransformer" in target or "MLPTransformer" in target:
+        return "energy"
+    raise ValueError(
+        f"No torch-checkpoint converter for net target '{target}' "
+        "(supported: ViT, ViT1D, ParallelTransformer)"
+    )
+
+
+def _trainable_param_names(model_sd, kind):
+    """Reconstruct torch's ``[p for p in model.parameters() if p.requires_grad]``
+    name order from a state dict: registration order, minus non-trainable
+    parameters/buffers and shared-module duplicate paths."""
+    names = []
+    for k in model_sd:
+        leaf = k.split(".")[-1]
+        if leaf in _BUFFER_KEYS or k in _BUFFER_KEYS:
+            continue  # buffers + attn_mask (requires_grad=False)
+        if kind == "energy":
+            if k == "time_embed.0.W":  # frozen GaussianFourier weights
+                continue
+            if k.startswith("layers.0."):  # alias of `layer` (same module)
+                continue
+        names.append(k)
+    return names
+
+
+def convert_ema_state_dict(ema_sd, model_sd, kind):
+    """Convert a torch_ema ``ExponentialMovingAverage.state_dict()`` to Flax
+    variables by pairing ``shadow_params`` (ordered over trainable parameters)
+    with the model state dict's parameter names, then reusing the per-net
+    converter. ``model_sd`` must be the prefix-stripped model state dict from
+    the same checkpoint; ``kind`` is :func:`net_kind_from_target`'s output.
+    """
+    shadows = ema_sd["shadow_params"]
+    names = _trainable_param_names(model_sd, kind)
+    if len(names) != len(shadows):
+        raise ValueError(
+            f"EMA shadow count {len(shadows)} != trainable-param count "
+            f"{len(names)} — unknown architecture variant?"
+        )
+    shadow_sd = {}
+    for name, tensor in zip(names, shadows):
+        if tuple(_to_np(tensor).shape) != tuple(_to_np(model_sd[name]).shape):
+            raise ValueError(f"EMA shadow shape mismatch at {name}")
+        shadow_sd[name] = tensor
+    if kind == "energy":
+        # the head's first Linear is registered as `layer` (its position in
+        # parameters() order) but the converter maps it via its `layers.0`
+        # Sequential alias
+        for suffix in ("weight", "bias"):
+            shadow_sd[f"layers.0.{suffix}"] = shadow_sd.pop(f"layer.{suffix}")
+        shadow_sd["time_embed.0.W"] = model_sd["time_embed.0.W"]
+        variables, _ = convert_energy_state_dict(shadow_sd)
+        return variables
+    return convert_vit_state_dict(shadow_sd, vit1d=(kind == "vit1d"))
