@@ -786,6 +786,39 @@ def test_shape_pipeline_parity(ref_transforms_module, tmp_path):
         )
 
 
+def test_add_angular_bins_parity(ref_transforms_module, tmp_path):
+    """ds1-pions style alpha-bin padding (forward) and group max-pool (reverse)
+    match the reference, including the u-column passthrough."""
+    from conftest import make_binning_xml
+
+    import vit4hep_tpu.data.calochallenge.transforms as our_mod
+
+    # 5 layers x 3 r-bins x 1 alpha bin, padded 1 -> 4 alpha bins: the scheme
+    # is only self-consistent for layers with a single alpha bin (the ds1-pions
+    # contract — padded layers have num_bins 1; others have add_bins==num_bins)
+    xml = str(make_binning_xml(tmp_path / "binning.xml", particle="pion", n_alpha=1))
+    # NB the reference's kwargs are swapped: xml_filename carries the particle
+    # and ptype the XML path (its positional XMLHandler(particle, filename)
+    # call absorbs the swap; our implementation keeps the same convention)
+    kwargs = {"xml_filename": "pion", "ptype": xml,
+              "num_bins": [1] * 5, "add_bins": [4] * 5}
+    ref_fn = ref_transforms_module.AddAngularBins(**kwargs)
+    our_fn = our_mod.AddAngularBins(**kwargs)
+
+    gen = np.random.default_rng(59)
+    shower = gen.exponential(1.0, (6, 20)).astype(np.float32)  # 15 voxels + 5 u's
+    energy = gen.uniform(1e3, 1e6, (6, 1)).astype(np.float32)
+
+    s_ref, _ = ref_fn(torch.from_numpy(shower.copy()), torch.from_numpy(energy.copy()))
+    s_ours, _ = our_fn(shower.copy(), energy.copy())
+    np.testing.assert_allclose(np.asarray(s_ours), s_ref.numpy(), atol=0)
+
+    r_ref, _ = ref_fn(s_ref, torch.from_numpy(energy.copy()), rev=True)
+    r_ours, _ = our_fn(np.asarray(s_ours), energy.copy(), rev=True)
+    np.testing.assert_allclose(np.asarray(r_ours), r_ref.numpy(), atol=0)
+    np.testing.assert_allclose(np.asarray(r_ours), shower, atol=0)
+
+
 def _import_ref(modname):
     sys.path.insert(0, REFERENCE)
     try:
@@ -863,6 +896,79 @@ def test_calogan_normalize_layer_energy_parity():
         np.testing.assert_allclose(
             np.asarray(d_ours[k]), layers[k], rtol=1e-3, atol=1e-4, err_msg=k
         )
+
+
+def test_lemurs_pipeline_parity(tmp_path):
+    """Full LEMURS preprocessing chain (u-construction -> u-scale -> logit ->
+    standardize u/global -> condition min-max) matches the reference forward
+    and reverse on the same dict batch."""
+    ref_mod = _import_ref("experiments.lemurs.transforms")
+    import vit4hep_tpu.data.lemurs.transforms as our_mod
+
+    gen = np.random.default_rng(61)
+    base = {
+        "showers": gen.exponential(1.0, (8, 5, 5, 4)).astype(np.float32),
+        "incident_energy": gen.uniform(1e3, 1e6, (8, 1)).astype(np.float32),
+        "incident_theta": gen.uniform(0.9, 2.2, (8, 1)).astype(np.float32),
+        "incident_phi": gen.uniform(-3.1, 3.1, (8, 1)).astype(np.float32),
+    }
+    spec = [
+        ("LEMURSNormalizeByElayer", {}),
+        ("LEMURSScaleTotalEnergy", {"factor": 0.35}),
+        ("LEMURSExclusiveLogitTransform", {"delta": 1.0e-6, "rescale": True}),
+        ("LEMURSStandardizeUsFromFile", {"n_us": 4, "model_dir": None}),
+        ("LEMURSGlobalStandardizeFromFile", {"model_dir": None}),
+        ("LEMURSPreprocessConds", {}),
+    ]
+    chains = []
+    for module, sub in ((ref_mod, "ref"), (our_mod, "ours")):
+        run_dir = tmp_path / sub
+        run_dir.mkdir(exist_ok=True)
+        steps = []
+        for name, kwargs in spec:
+            kw = dict(kwargs)
+            if "model_dir" in kw:
+                kw["model_dir"] = str(run_dir)
+            steps.append(getattr(module, name)(**kw))
+        chains.append(steps)
+    ref_steps, our_steps = chains
+
+    d_ref = {k: torch.from_numpy(v.copy()) for k, v in base.items()}
+    d_ours = {k: v.copy() for k, v in base.items()}
+    for fn in ref_steps:
+        d_ref = fn(d_ref)
+    for fn in our_steps:
+        d_ours = fn(d_ours)
+    for k in ("showers", "extra_dims", "incident_energy", "incident_theta", "incident_phi"):
+        np.testing.assert_allclose(
+            np.asarray(d_ours[k]), d_ref[k].numpy(), atol=1e-4, rtol=1e-4, err_msg=k
+        )
+
+    for fn in reversed(ref_steps):
+        d_ref = fn(d_ref, rev=True)
+    for fn in reversed(our_steps):
+        d_ours = fn(d_ours, rev=True)
+    for k in ("showers", "incident_energy", "incident_theta", "incident_phi"):
+        np.testing.assert_allclose(
+            np.asarray(d_ours[k]), d_ref[k].numpy(), atol=1e-3, rtol=1e-3, err_msg=k
+        )
+
+
+def test_sumpool_downscale_parity():
+    """CaloHadronic's irreversible ECal AvgPool3d-x-volume downsample matches."""
+    ref_mod = _import_ref("experiments.calohadronic.transforms")
+    import vit4hep_tpu.data.calohadronic.transforms as our_mod
+
+    gen = np.random.default_rng(67)
+    ecal = gen.exponential(1.0, (4, 6, 24, 24)).astype(np.float32)
+    d_ref = {"ecal": torch.from_numpy(ecal.copy())}
+    d_ours = {"ecal": ecal.copy()}
+    ref_out = ref_mod.SumPool3dDownScale(calo="ecal", kernel=(3, 12, 12))(d_ref)
+    our_out = our_mod.SumPool3dDownScale(calo="ecal", kernel=(3, 12, 12))(d_ours)
+    assert np.asarray(our_out["ecal"]).shape == (4, 2, 2, 2)
+    np.testing.assert_allclose(
+        np.asarray(our_out["ecal"]), ref_out["ecal"].numpy(), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_calohadronic_normalize_by_elayer_parity():

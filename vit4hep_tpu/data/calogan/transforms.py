@@ -47,7 +47,7 @@ class GlobalStandardizeFromFileGAN:
             shower = np.concatenate([data_dict[k] for k in keys], axis=1)
             mask = (shower > self.eps) & (shower < -self.eps)
             self.mean = float(shower[mask].mean())
-            self.std = float(shower[mask].std())
+            self.std = float(shower[mask].std(ddof=1))
             if rank == 0:
                 np.save(self.mean_path, np.float32(self.mean))
                 np.save(self.std_path, np.float32(self.std))

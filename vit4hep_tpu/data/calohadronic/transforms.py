@@ -53,7 +53,7 @@ class CaloHadGlobalStandardizeFromFile:
             flat = np.concatenate([np.ravel(data_dict[k]) for k in keys])
             mask = (flat > self.eps) & (flat < -self.eps)
             self.mean = float(flat[mask].mean())
-            self.std = float(flat[mask].std())
+            self.std = float(flat[mask].std(ddof=1))
             if rank == 0:
                 np.save(self.mean_path, np.float32(self.mean))
                 np.save(self.std_path, np.float32(self.std))
@@ -87,7 +87,7 @@ class CaloHadStandardizeUsFromFile:
             return data_dict
         if not self.written:
             self.mean_u = us.mean(0)
-            self.std_u = us.std(0)
+            self.std_u = us.std(0, ddof=1)
             if rank == 0:
                 np.save(self.mean_us_path, self.mean_u)
                 np.save(self.std_us_path, self.std_u)
