@@ -954,6 +954,120 @@ def test_lemurs_pipeline_parity(tmp_path):
         )
 
 
+def test_calogan_pipeline_parity(tmp_path):
+    """Full CaloGAN chain (u-construction -> logit -> standardize -> log/scale
+    energy) matches the reference forward and reverse on the same dict batch."""
+    ref_mod = _import_ref("experiments.calogan.transforms")
+    import vit4hep_tpu.data.calogan.transforms as our_mod
+
+    gen = np.random.default_rng(71)
+    base = {
+        f"layer_{i}": gen.exponential(1.0, (8, n)).astype(np.float32)
+        for i, n in enumerate((288, 144, 72))
+    }
+    base["energy"] = gen.uniform(1, 100, (8, 1)).astype(np.float32)
+    spec = [
+        ("NormalizeLayerEnergyGAN", {}),
+        ("ExclusiveLogitTransformGAN", {"delta": 1.0e-6, "rescale": True}),
+        ("GlobalStandardizeFromFileGAN", {"model_dir": None}),
+        ("LogEnergyGAN", {}),
+        ("ScaleEnergyGAN", {"e_min": 0.0, "e_max": 4.7}),
+    ]
+    chains = []
+    for module, sub in ((ref_mod, "ref"), (our_mod, "ours")):
+        run_dir = tmp_path / sub
+        run_dir.mkdir(exist_ok=True)
+        steps = []
+        for name, kwargs in spec:
+            kw = dict(kwargs)
+            if "model_dir" in kw:
+                kw["model_dir"] = str(run_dir)
+            steps.append(getattr(module, name)(**kw))
+        chains.append(steps)
+    ref_steps, our_steps = chains
+
+    d_ref = {k: torch.from_numpy(v.copy()) for k, v in base.items()}
+    d_ours = {k: v.copy() for k, v in base.items()}
+    for fn in ref_steps:
+        d_ref = fn(d_ref)
+    for fn in our_steps:
+        d_ours = fn(d_ours)
+    for k in list(base) + ["extra_dims"]:
+        np.testing.assert_allclose(
+            np.asarray(d_ours[k]), d_ref[k].numpy(), atol=1e-4, rtol=1e-4, err_msg=k
+        )
+    for fn in reversed(ref_steps):
+        d_ref = fn(d_ref, rev=True)
+    for fn in reversed(our_steps):
+        d_ours = fn(d_ours, rev=True)
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(d_ours[k]), d_ref[k].numpy(), atol=1e-3, rtol=1e-3, err_msg=k
+        )
+
+
+def test_calohadronic_pipeline_parity(tmp_path):
+    """CaloHadronic chain (ECal downsample -> joint u-construction -> u-scale ->
+    logit -> standardize -> condition scaling) matches forward and reverse."""
+    ref_mod = _import_ref("experiments.calohadronic.transforms")
+    import vit4hep_tpu.data.calohadronic.transforms as our_mod
+
+    gen = np.random.default_rng(73)
+    energy = gen.uniform(10, 90, (6, 1)).astype(np.float32)
+    ecal = gen.exponential(1.0, (6, 6, 24, 24)).astype(np.float32)
+    hcal = gen.exponential(1.0, (6, 5, 3, 3)).astype(np.float32)
+    # keep E_tot/E_inc < 1 so u_0 stays in logit's domain (physical showers)
+    total = ecal.sum((1, 2, 3), keepdims=True) + hcal.sum((1, 2, 3), keepdims=True)
+    frac = gen.uniform(0.5, 0.9, (6, 1, 1, 1)).astype(np.float32)
+    base = {
+        "ecal": ecal / total * energy[..., None, None] * frac,
+        "hcal": hcal / total * energy[..., None, None] * frac,
+        "energy": energy,
+    }
+    spec = [
+        ("SumPool3dDownScale", {"calo": "ecal", "kernel": (3, 12, 12)}),
+        ("CaloHadNormalizeByElayer", {}),
+        ("CaloHadScaleTotalEnergy", {"factor": 0.35}),
+        ("CaloHadExclusiveLogitTransform", {"delta": 1.0e-6, "rescale": True}),
+        ("CaloHadStandardizeUsFromFile", {"n_us": 7, "model_dir": None}),
+        ("CaloHadGlobalStandardizeFromFile", {"model_dir": None}),
+        ("CaloHadPreprocessConds", {}),
+    ]
+    ref_names = {c for c in dir(ref_mod)}
+    spec = [(n, kw) for n, kw in spec if n in ref_names]
+    chains = []
+    for module, sub in ((ref_mod, "ref"), (our_mod, "ours")):
+        run_dir = tmp_path / sub
+        run_dir.mkdir(exist_ok=True)
+        steps = []
+        for name, kwargs in spec:
+            kw = dict(kwargs)
+            if "model_dir" in kw:
+                kw["model_dir"] = str(run_dir)
+            steps.append(getattr(module, name)(**kw))
+        chains.append(steps)
+    ref_steps, our_steps = chains
+
+    d_ref = {k: torch.from_numpy(v.copy()) for k, v in base.items()}
+    d_ours = {k: v.copy() for k, v in base.items()}
+    for fn in ref_steps:
+        d_ref = fn(d_ref)
+    for fn in our_steps:
+        d_ours = fn(d_ours)
+    for k in ("ecal", "hcal", "extra_dims", "energy"):
+        np.testing.assert_allclose(
+            np.asarray(d_ours[k]), d_ref[k].numpy(), atol=1e-4, rtol=1e-4, err_msg=k
+        )
+    for fn in reversed(ref_steps):
+        d_ref = fn(d_ref, rev=True)
+    for fn in reversed(our_steps):
+        d_ours = fn(d_ours, rev=True)
+    for k in ("ecal", "hcal", "energy"):
+        np.testing.assert_allclose(
+            np.asarray(d_ours[k]), d_ref[k].numpy(), atol=1e-3, rtol=1e-3, err_msg=k
+        )
+
+
 def test_sumpool_downscale_parity():
     """CaloHadronic's irreversible ECal AvgPool3d-x-volume downsample matches."""
     ref_mod = _import_ref("experiments.calohadronic.transforms")
