@@ -452,6 +452,30 @@ def test_torch_pt_warm_start_e2e(ref_energy_module, tmp_path, shower_file, geome
     assert np.all(np.isfinite(samples))
 
 
+def test_net_kind_classification():
+    from vit4hep_tpu.utils.torch_migration import net_kind_from_target
+
+    assert net_kind_from_target("nn.vit.ViT") == "vit"
+    assert net_kind_from_target("vit4hep_tpu.models.vit.ViT") == "vit"
+    assert net_kind_from_target("nn.vit.ViT1D") == "vit1d"
+    assert net_kind_from_target("nn.cfm.transformer_cfm.ParallelTransformer") == "energy"
+    # the native path contains "vit" in the package prefix — must NOT match ViT
+    assert net_kind_from_target(
+        "vit4hep_tpu.models.energy_transformer.ParallelTransformer"
+    ) == "energy"
+    with pytest.raises(ValueError):
+        net_kind_from_target("models.base_model.CINN")
+
+
+def test_strip_prefixes_ddp_stacked():
+    """DDP-saved reference checkpoints carry net.module.<param> keys."""
+    from vit4hep_tpu.utils.torch_migration import strip_state_dict_prefixes
+
+    sd = {"net.module.x_embedder.weight": 1, "net.pos_embed_freqs": 2, "plain": 3}
+    out = strip_state_dict_prefixes(sd)
+    assert set(out) == {"x_embedder.weight", "pos_embed_freqs", "plain"}
+
+
 def test_energy_ema_shadow_mapping(ref_energy_module):
     """torch_ema shadow ordering for the energy net (shared head module,
     frozen Fourier weights) maps onto the same tree as the model weights."""

@@ -63,12 +63,18 @@ def _linear(sd, key):
 
 def strip_state_dict_prefixes(sd, prefixes=("module.", "net.")):
     """Strip DDP/model-wrapper prefixes (reference misc.py:65-71 strips only
-    ``module.``; ``net.`` is the generative model's network attribute)."""
+    ``module.``; ``net.`` is the generative model's network attribute).
+    Handles stacked prefixes in any order (DDP-saved models yield
+    ``net.module.<param>``)."""
     out = {}
     for k, v in sd.items():
-        for p in prefixes:
-            if k.startswith(p):
-                k = k[len(p):]
+        stripped = True
+        while stripped:
+            stripped = False
+            for p in prefixes:
+                if k.startswith(p):
+                    k = k[len(p):]
+                    stripped = True
         out[k] = v
     return out
 
@@ -243,13 +249,15 @@ def convert_energy_state_dict(sd):
 
 
 def net_kind_from_target(target: str) -> str:
-    """Classify a reference ``net._target_`` for checkpoint conversion."""
-    if "ViT1D" in target:
-        return "vit1d"
-    if "vit" in target.lower():
-        return "vit"
+    """Classify a ``net._target_`` (reference- or native-style module path)
+    for checkpoint conversion. Energy patterns are checked before the ViT
+    ones — this package's own module prefix contains "vit"."""
     if "transformer_cfm" in target or "ParallelTransformer" in target or "MLPTransformer" in target:
         return "energy"
+    if "ViT1D" in target:
+        return "vit1d"
+    if target.rsplit(".", 1)[-1] == "ViT" or "vit.ViT" in target:
+        return "vit"
     raise ValueError(
         f"No torch-checkpoint converter for net target '{target}' "
         "(supported: ViT, ViT1D, ParallelTransformer)"
