@@ -192,3 +192,43 @@ def test_profiler_window(tmp_path, shower_file, geometry):
     assert trace_dir.exists()
     # the trace lands as plugins/profile/<ts>/*.xplane.pb
     assert list(trace_dir.rglob("*.xplane.pb"))
+
+def test_generate_einc_ds1_spectrum():
+    """ds1 spectrum: 10x counts for 2^8..2^18, thinned 5/3/2/1 for 2^19..2^22
+    (reference experiment.py:149-168)."""
+    from vit4hep_tpu.experiments.calochallenge import CaloChallenge
+
+    e = CaloChallenge.generate_Einc_ds1(object(), sample_multiplier=3)
+    vals, counts = np.unique(e, return_counts=True)
+    np.testing.assert_allclose(vals, 2.0 ** np.arange(8, 23), rtol=1e-12)
+    expected = np.array([10] * 11 + [5, 3, 2, 1]) * 3
+    np.testing.assert_array_equal(counts, expected)
+    assert len(e) == 121 * 3
+
+
+def test_reduce_lr_on_plateau_scale():
+    """Host-driven ReduceLROnPlateau: lr_scale multiplies down after
+    `patience` non-improving validations, then the counter resets."""
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.experiments.base import BaseExperiment
+    from vit4hep_tpu.experiments.train_state import TrainState
+
+    class _Shim:
+        plateau = {"factor": 0.5, "patience": 2, "best": float("inf"), "bad": 0}
+        state = TrainState(
+            params=None, opt_state=None, ema_params=None,
+            step=jnp.zeros((), jnp.int32), ema_updates=jnp.zeros((), jnp.int32),
+            lr_scale=jnp.ones((), jnp.float32),
+        )
+
+    shim = _Shim()
+    BaseExperiment._plateau_step(shim, 1.0)   # improves (best=1.0)
+    BaseExperiment._plateau_step(shim, 1.1)   # bad=1
+    BaseExperiment._plateau_step(shim, 1.2)   # bad=2
+    assert float(shim.state.lr_scale) == 1.0
+    BaseExperiment._plateau_step(shim, 1.3)   # bad=3 > patience -> scale 0.5
+    assert float(shim.state.lr_scale) == 0.5
+    assert shim.plateau["bad"] == 0
+    BaseExperiment._plateau_step(shim, 0.5)   # new best resets
+    assert shim.plateau["best"] == 0.5
