@@ -706,6 +706,95 @@ def test_rqs_v2_bin_parity(ref_inn_modules):
     np.testing.assert_allclose(np.asarray(ld_ours), ld_ref.numpy(), atol=1e-4, rtol=1e-4)
 
 
+def test_cinn_coupling_block_parity(ref_vit_module, ref_inn_modules):
+    """Full two-sided nflows coupling block (CaloRQSplineNFlows) with ViT1D
+    subnets: even/odd token split, two-stage coupling composition, and
+    per-event log|J| match the reference with transferred subnet weights,
+    forward and inverse."""
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.models.bijectors import NFlowsRQSCouplingBlock
+    from vit4hep_tpu.models.vit import ViT1D
+    from vit4hep_tpu.utils.torch_migration import (
+        convert_vit_state_dict,
+        strip_state_dict_prefixes,
+    )
+
+    ref_nflows, _ = ref_inn_modules
+    sys.path.insert(0, REFERENCE)
+    try:
+        from nn.inn.subnets import SubnetViT
+    finally:
+        sys.path.remove(REFERENCE)
+
+    T, P, COND, NB = 6, 8, 4, 8
+    vit_kwargs = {
+        "dim": 3, "condition_dim": COND, "hidden_dim": 48, "depth": 1,
+        "num_heads": 2, "mlp_ratio": 2.0, "learn_pos_embed": True,
+        "use_torch_sdpa": True,
+    }
+
+    def ref_subnet_ctor(x_in, x_out):
+        # freia_utils.py:72-80 (non-spatial): full patch_dim, half the tokens
+        return SubnetViT(
+            x_out=x_out, patch_dim=P, num_patches=[[3, 1, 2]],
+            prod_num_patches=T // 2, **vit_kwargs,
+        )
+
+    torch.manual_seed(37)
+    ref_block = ref_nflows.CaloRationalQuadraticSplineBlock(
+        dims_in=[(T, P)], dims_c=[(COND,)], subnet_constructor=ref_subnet_ctor,
+        num_bins=NB, bounds_init=1.0, tails="linear", bounds_type="SOFTPLUS",
+        spatial=False,
+    )
+    # zero-init FinalLayers make the block the identity; perturb to expose it
+    for name, p in ref_block.named_parameters():
+        if "adaLN" in name or "final_layer.linear" in name:
+            with torch.no_grad():
+                p.copy_(0.3 * torch.randn_like(p))
+
+    def our_subnet_ctor(n_params):
+        return ViT1D({
+            **{k: v for k, v in vit_kwargs.items() if k != "use_torch_sdpa"},
+            "x_out": n_params, "patch_dim": P, "num_patches": [[3, 1, 2]],
+            "prod_num_patches": T // 2,
+        })
+
+    our_block = NFlowsRQSCouplingBlock(
+        subnet_ctor=our_subnet_ctor, num_bins=NB, bounds_init=1.0, spatial=False,
+    )
+    ref_sd = ref_block.state_dict()
+    variables = {"params": {}}
+    for ours, theirs in (("subnet1", "_spline1.subnet.vit."),
+                         ("subnet2", "_spline2.subnet.vit.")):
+        sub_sd = strip_state_dict_prefixes(
+            {k: v for k, v in ref_sd.items() if k.startswith(theirs)},
+            prefixes=(theirs,),
+        )
+        variables["params"][ours] = convert_vit_state_dict(sub_sd, vit1d=True)["params"]
+
+    gen = np.random.default_rng(79)
+    x = gen.uniform(-1.2, 1.2, (5, T, P)).astype(np.float32)
+    c = gen.standard_normal((5, COND)).astype(np.float32)
+
+    with torch.no_grad():
+        (y_ref,), j_ref = ref_block((torch.from_numpy(x),), c=[torch.from_numpy(c)])
+    y_ours, j_ours = our_block.apply(variables, jnp.asarray(x), jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_ours), j_ref.numpy(), atol=1e-4, rtol=1e-4)
+
+    # inverse round-trips through the same weights
+    with torch.no_grad():
+        (x_ref,), jr_ref = ref_block((y_ref,), c=[torch.from_numpy(c)], rev=True)
+    x_ours, jr_ours = our_block.apply(
+        variables, jnp.asarray(np.asarray(y_ours)), jnp.asarray(c),
+        method=our_block.inverse,
+    )
+    np.testing.assert_allclose(np.asarray(x_ours), x_ref.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_ours), x, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jr_ours), jr_ref.numpy(), atol=1e-4, rtol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # transform-pipeline and high-level-features parity (the physics core)
 # ---------------------------------------------------------------------------
