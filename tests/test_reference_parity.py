@@ -795,6 +795,135 @@ def test_cinn_coupling_block_parity(ref_vit_module, ref_inn_modules):
     np.testing.assert_allclose(np.asarray(jr_ours), jr_ref.numpy(), atol=1e-4, rtol=1e-4)
 
 
+def test_one_sided_coupling_block_parity(ref_vit_module, ref_inn_modules):
+    """OneSidedCaloRQSplineNFlows: only the odd tokens transform, conditioned
+    on the even ones; parity with transferred ViT1D subnet weights."""
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.models.bijectors import NFlowsRQSCouplingBlock
+    from vit4hep_tpu.models.vit import ViT1D
+    from vit4hep_tpu.utils.torch_migration import (
+        convert_vit_state_dict,
+        strip_state_dict_prefixes,
+    )
+
+    ref_nflows, _ = ref_inn_modules
+    sys.path.insert(0, REFERENCE)
+    try:
+        from nn.inn.subnets import SubnetViT
+    finally:
+        sys.path.remove(REFERENCE)
+
+    T, P, COND, NB = 6, 8, 4, 8
+    vit_kwargs = {
+        "dim": 3, "condition_dim": COND, "hidden_dim": 48, "depth": 1,
+        "num_heads": 2, "mlp_ratio": 2.0, "learn_pos_embed": True,
+        "use_torch_sdpa": True,
+    }
+
+    torch.manual_seed(41)
+    ref_block = ref_nflows.OneSidedCaloRationalQuadraticSplineBlock(
+        dims_in=[(T, P)], dims_c=[(COND,)],
+        subnet_constructor=lambda x_in, x_out: SubnetViT(
+            x_out=x_out, patch_dim=P, num_patches=[[3, 1, 2]],
+            prod_num_patches=T // 2, **vit_kwargs,
+        ),
+        num_bins=NB, bounds_init=1.0, tails="linear", bounds_type="SOFTPLUS",
+        spatial=False,
+    )
+    for name, p in ref_block.named_parameters():
+        if "adaLN" in name or "final_layer.linear" in name:
+            with torch.no_grad():
+                p.copy_(0.3 * torch.randn_like(p))
+
+    our_block = NFlowsRQSCouplingBlock(
+        subnet_ctor=lambda n_params: ViT1D({
+            **{k: v for k, v in vit_kwargs.items() if k != "use_torch_sdpa"},
+            "x_out": n_params, "patch_dim": P, "num_patches": [[3, 1, 2]],
+            "prod_num_patches": T // 2,
+        }),
+        num_bins=NB, bounds_init=1.0, spatial=False, one_sided=True,
+    )
+    sub_sd = strip_state_dict_prefixes(
+        {k: v for k, v in ref_block.state_dict().items()
+         if k.startswith("_spline.subnet.vit.")},
+        prefixes=("_spline.subnet.vit.",),
+    )
+    variables = {"params": {"subnet1": convert_vit_state_dict(sub_sd, vit1d=True)["params"]}}
+
+    gen = np.random.default_rng(83)
+    x = gen.uniform(-1.2, 1.2, (5, T, P)).astype(np.float32)
+    c = gen.standard_normal((5, COND)).astype(np.float32)
+    with torch.no_grad():
+        (y_ref,), j_ref = ref_block((torch.from_numpy(x),), c=[torch.from_numpy(c)])
+    y_ours, j_ours = our_block.apply(variables, jnp.asarray(x), jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_ours), j_ref.numpy(), atol=1e-4, rtol=1e-4)
+    # even tokens pass through untouched
+    np.testing.assert_array_equal(np.asarray(y_ours)[:, ::2], x[:, ::2])
+
+
+def test_simple_rqs_block_parity(ref_inn_modules):
+    """SimpleRQSplineNFlows (energy cINN): half/half split with the reference's
+    [floor(d/2), ceil(d/2)] ordering (odd dims!) and MLP subnets over
+    [passive, condition]; parity with transferred weights, fwd + inverse."""
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.models.bijectors import SimpleRQSCouplingBlock
+    from vit4hep_tpu.utils.torch_migration import _linear
+
+    ref_nflows, _ = ref_inn_modules
+    sys.path.insert(0, REFERENCE)
+    try:
+        from nn.inn.subnets import SubnetMLP
+    finally:
+        sys.path.remove(REFERENCE)
+
+    D, COND, NB = 7, 2, 6  # odd dims: split must be [3, 4] like the reference
+    subnet_kwargs = {"n_layers": 2, "hidden_channels": [32, 32], "dropout": 0.0}
+
+    torch.manual_seed(43)
+    ref_block = ref_nflows.SimpleRationalQuadraticSplineBlock(
+        dims_in=[(D,)], dims_c=[(COND,)],
+        subnet_constructor=lambda x_in, x_out: SubnetMLP(
+            x_in=x_in, x_out=x_out, subnet_kwargs=subnet_kwargs
+        ),
+        num_bins=NB, bounds_init=1.0, tails="linear", bounds_type="SOFTPLUS",
+    )
+
+    our_block = SimpleRQSCouplingBlock(
+        dims_in=D, num_bins=NB, bounds_init=1.0,
+        subnet_kwargs={"hidden_channels": (32, 32), "n_layers": 2},
+    )
+    ref_sd = ref_block.state_dict()
+    variables = {"params": {}}
+    for ours, theirs in (("subnet1", "_spline1.subnet.mlp."),
+                         ("subnet2", "_spline2.subnet.mlp.")):
+        sub = {k[len(theirs):]: v for k, v in ref_sd.items() if k.startswith(theirs)}
+        # Sequential indices 0/2/4 (Linear, ReLU, Linear, ReLU, Linear)
+        variables["params"][ours] = {
+            f"Dense_{j}": _linear(sub, str(i)) for j, i in enumerate((0, 2, 4))
+        }
+
+    gen = np.random.default_rng(89)
+    x = gen.uniform(-1.2, 1.2, (6, D)).astype(np.float32)
+    c = gen.standard_normal((6, COND)).astype(np.float32)
+    with torch.no_grad():
+        (y_ref,), j_ref = ref_block((torch.from_numpy(x),), c=[torch.from_numpy(c)])
+    y_ours, j_ours = our_block.apply(variables, jnp.asarray(x), jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_ours), j_ref.numpy(), atol=1e-4, rtol=1e-4)
+
+    with torch.no_grad():
+        (x_ref,), _ = ref_block((y_ref,), c=[torch.from_numpy(c)], rev=True)
+    x_ours, _ = our_block.apply(
+        variables, jnp.asarray(np.asarray(y_ours)), jnp.asarray(c),
+        method=our_block.inverse,
+    )
+    np.testing.assert_allclose(np.asarray(x_ours), x_ref.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_ours), x, atol=1e-4, rtol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # transform-pipeline and high-level-features parity (the physics core)
 # ---------------------------------------------------------------------------

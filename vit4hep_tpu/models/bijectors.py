@@ -177,8 +177,10 @@ class SimpleRQSCouplingBlock(nn.Module):
     subnet_kwargs: Any = None
 
     def setup(self):
-        half1 = self.dims_in - self.dims_in // 2
-        half2 = self.dims_in // 2
+        # reference rqs_nflows.py:231-235: x1 = first floor(d/2) features,
+        # x2 = the remaining ceil(d/2) (order matters when d is odd)
+        half1 = self.dims_in // 2
+        half2 = self.dims_in - self.dims_in // 2
         kw = dict(self.subnet_kwargs or {})
         self.subnet1 = SubnetMLP(out_dim=(3 * self.num_bins - 1) * half1, **kw)
         self.subnet2 = SubnetMLP(out_dim=(3 * self.num_bins - 1) * half2, **kw)
