@@ -863,6 +863,83 @@ def test_one_sided_coupling_block_parity(ref_vit_module, ref_inn_modules):
     np.testing.assert_array_equal(np.asarray(y_ours)[:, ::2], x[:, ::2])
 
 
+def test_binned_rqs_block_parity(ref_vit_module, ref_inn_modules):
+    """CaloRQSplineFrEIA (binned spline with predicted domain + affine tails):
+    constraint pipeline, two-sided composition, and log|J| match the reference
+    with transferred ViT1D subnet weights, forward and inverse."""
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.models.bijectors import BinnedRQSCouplingBlock
+    from vit4hep_tpu.models.vit import ViT1D
+    from vit4hep_tpu.utils.torch_migration import (
+        convert_vit_state_dict,
+        strip_state_dict_prefixes,
+    )
+
+    _, ref_v2 = ref_inn_modules
+    sys.path.insert(0, REFERENCE)
+    try:
+        from nn.inn.subnets import SubnetViT
+    finally:
+        sys.path.remove(REFERENCE)
+
+    T, P, COND, NB = 6, 8, 4, 8
+    vit_kwargs = {
+        "dim": 3, "condition_dim": COND, "hidden_dim": 48, "depth": 1,
+        "num_heads": 2, "mlp_ratio": 2.0, "learn_pos_embed": True,
+        "use_torch_sdpa": True,
+    }
+
+    torch.manual_seed(47)
+    ref_block = ref_v2.RationalQuadraticSpline(
+        [(T, P)], [(COND,)],
+        subnet_constructor=lambda x_in, x_out: SubnetViT(
+            x_out=x_out, patch_dim=P, num_patches=[[3, 1, 2]],
+            prod_num_patches=T // 2, **vit_kwargs,
+        ),
+        bins=NB, spatial=False,
+    )
+    for name, p in ref_block.named_parameters():
+        if "adaLN" in name or "final_layer.linear" in name:
+            with torch.no_grad():
+                p.copy_(0.1 * torch.randn_like(p))
+
+    our_block = BinnedRQSCouplingBlock(
+        subnet_ctor=lambda n_params: ViT1D({
+            **{k: v for k, v in vit_kwargs.items() if k != "use_torch_sdpa"},
+            "x_out": n_params, "patch_dim": P, "num_patches": [[3, 1, 2]],
+            "prod_num_patches": T // 2,
+        }),
+        num_patches=T, patch_dim=P, bins=NB, spatial=False,
+    )
+    ref_sd = ref_block.state_dict()
+    variables = {"params": {}}
+    for name in ("subnet1", "subnet2"):
+        sub_sd = strip_state_dict_prefixes(
+            {k: v for k, v in ref_sd.items() if k.startswith(f"{name}.vit.")},
+            prefixes=(f"{name}.vit.",),
+        )
+        variables["params"][name] = convert_vit_state_dict(sub_sd, vit1d=True)["params"]
+
+    gen = np.random.default_rng(97)
+    x = gen.standard_normal((5, T, P)).astype(np.float32) * 2.0
+    c = gen.standard_normal((5, COND)).astype(np.float32)
+    with torch.no_grad():
+        (y_ref,), j_ref = ref_block((torch.from_numpy(x),), c=[torch.from_numpy(c)])
+    y_ours, j_ours = our_block.apply(variables, jnp.asarray(x), jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_ours), j_ref.numpy(), atol=1e-3, rtol=1e-4)
+
+    with torch.no_grad():
+        (x_ref,), _ = ref_block((y_ref,), c=[torch.from_numpy(c)], rev=True)
+    x_ours, _ = our_block.apply(
+        variables, jnp.asarray(np.asarray(y_ours)), jnp.asarray(c),
+        method=our_block.inverse,
+    )
+    np.testing.assert_allclose(np.asarray(x_ours), x_ref.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_ours), x, atol=1e-3, rtol=1e-3)
+
+
 def test_simple_rqs_block_parity(ref_inn_modules):
     """SimpleRQSplineNFlows (energy cINN): half/half split with the reference's
     [floor(d/2), ceil(d/2)] ordering (odd dims!) and MLP subnets over
