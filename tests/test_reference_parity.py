@@ -452,6 +452,44 @@ def test_torch_pt_warm_start_e2e(ref_energy_module, tmp_path, shower_file, geome
     assert np.all(np.isfinite(samples))
 
 
+@pytest.mark.parametrize("opt_name", ["Adam", "AdamW", "RAdam"])
+def test_optimizer_step_parity(opt_name):
+    """One optimizer step on identical params/grads matches torch, including
+    the coupled-L2 weight decay of torch Adam/RAdam (AdamW is decoupled)."""
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.experiments.train_state import make_optimizer
+    from vit4hep_tpu.utils.config import Config
+
+    gen = np.random.default_rng(101)
+    p0 = gen.standard_normal(32).astype(np.float32)
+    g = gen.standard_normal(32).astype(np.float32)
+    lr, wd = 1e-2, 0.1
+
+    p_t = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt_cls = {"Adam": torch.optim.Adam, "AdamW": torch.optim.AdamW,
+               "RAdam": torch.optim.RAdam}[opt_name]
+    opt = opt_cls([p_t], lr=lr, betas=(0.9, 0.999), eps=1e-8, weight_decay=wd)
+    n_steps = 3
+    for _ in range(n_steps):
+        opt.zero_grad()
+        p_t.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    cfg = Config({"optimizer": opt_name, "lr": lr, "betas": [0.9, 0.999],
+                  "eps": 1e-8, "weight_decay": wd, "iterations": 10,
+                  "scheduler": None})
+    tx = make_optimizer(cfg)
+    params = jnp.asarray(p0)
+    state = tx.init(params)
+    for _ in range(n_steps):
+        updates, state = tx.update(jnp.asarray(g), state, params)
+        params = params + updates
+    np.testing.assert_allclose(
+        np.asarray(params), p_t.detach().numpy(), atol=1e-6, rtol=1e-5
+    )
+
+
 def test_net_kind_classification():
     from vit4hep_tpu.utils.torch_migration import net_kind_from_target
 

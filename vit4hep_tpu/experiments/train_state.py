@@ -169,17 +169,25 @@ def make_optimizer(training_cfg, schedule=None) -> optax.GradientTransformation:
     betas = tuple(training_cfg.get("betas", (0.9, 0.999)))
     eps = float(training_cfg.get("eps", 1e-8))
     wd = float(training_cfg.get("weight_decay", 0.0))
+    def _coupled_l2(tx):
+        # torch Adam/RAdam apply weight_decay as coupled L2: grad += wd * param
+        # BEFORE the moment updates (reference base_experiment.py:333-353)
+        if wd:
+            return optax.chain(optax.add_decayed_weights(wd), tx)
+        return tx
+
     if name == "Adam":
-        return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+        return _coupled_l2(optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps))
     if name == "AdamW":
         return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd)
     if name == "RAdam":
-        return optax.radam(lr, b1=betas[0], b2=betas[1], eps=eps)
+        return _coupled_l2(optax.radam(lr, b1=betas[0], b2=betas[1], eps=eps))
     if name == "Lion":
         return optax.lion(lr, b1=betas[0], b2=betas[1], weight_decay=wd)
     if name == "Ranger":
-        # weaver-style Ranger = RAdam + Lookahead(k=6, alpha=0.5)
-        inner = optax.radam(lr, b1=0.95, b2=0.999, eps=1e-5)
+        # weaver-style Ranger = RAdam(0.95, 0.999, eps 1e-5, coupled wd)
+        # + Lookahead(k=6, alpha=0.5)
+        inner = _coupled_l2(optax.radam(lr, b1=0.95, b2=0.999, eps=1e-5))
         return _lookahead(inner, sync_period=6, slow_step=0.5)
     raise ValueError(f"Optimizer {name} not implemented")
 
