@@ -452,6 +452,42 @@ def test_torch_pt_warm_start_e2e(ref_energy_module, tmp_path, shower_file, geome
     assert np.all(np.isfinite(samples))
 
 
+def test_grad_clip_parity():
+    """Global-norm and value clipping match torch.nn.utils semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.experiments.train_state import (
+        _clip_by_global_norm,
+        _clip_by_value,
+        global_norm,
+    )
+
+    gen = np.random.default_rng(103)
+    grads = {"a": gen.standard_normal((4, 5)).astype(np.float32),
+             "b": gen.standard_normal(7).astype(np.float32)}
+
+    params_t = [torch.nn.Parameter(torch.zeros_like(torch.from_numpy(g)))
+                for g in grads.values()]
+    for p, g in zip(params_t, grads.values()):
+        p.grad = torch.from_numpy(g.copy())
+    torch.nn.utils.clip_grad_norm_(params_t, max_norm=1.5)
+    clipped_t = [p.grad.numpy() for p in params_t]
+
+    grads_j = jax.tree.map(jnp.asarray, grads)
+    clipped_j = _clip_by_global_norm(grads_j, global_norm(grads_j), 1.5)
+    for ours, theirs in zip(clipped_j.values(), clipped_t):
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-6)
+
+    for p, g in zip(params_t, grads.values()):
+        p.grad = torch.from_numpy(g.copy())
+    torch.nn.utils.clip_grad_value_(params_t, clip_value=0.5)
+    clipped_t = [p.grad.numpy() for p in params_t]
+    clipped_j = _clip_by_value(grads_j, 0.5)
+    for ours, theirs in zip(clipped_j.values(), clipped_t):
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=0)
+
+
 @pytest.mark.parametrize("opt_name", ["Adam", "AdamW", "RAdam"])
 def test_optimizer_step_parity(opt_name):
     """One optimizer step on identical params/grads matches torch, including
