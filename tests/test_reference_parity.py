@@ -550,6 +550,82 @@ def test_strip_prefixes_ddp_stacked():
     assert set(out) == {"x_embedder.weight", "pos_embed_freqs", "plain"}
 
 
+def test_two_stage_from_torch_run_dirs(ref_vit_module, ref_energy_module, tmp_path):
+    """The full framework-switch scenario: run dirs for BOTH stages contain
+    only reference-format artifacts (config.yaml, models/model_run0.pt,
+    stats .npy) — no orbax checkpoints. `train=false warm_start_idx=0
+    sample_us=true` must load the shape model via the torch warm-start path,
+    load + migrate the energy model inside sample_us, and produce finite
+    physical showers."""
+    from test_two_stage_e2e import (
+        N_ALPHA,
+        N_LAYERS,
+        N_R,
+        N_VOX,
+        _energy_cfg,
+        _shape_cfg,
+    )
+    from test_two_stage_e2e import geo as _geo_fixture  # noqa: F401 (shapes only)
+
+    from conftest import make_binning_xml, make_shower_hdf5
+
+    from vit4hep_tpu.experiments.calochallenge import CaloChallenge
+    from vit4hep_tpu.utils.config import OmegaConf
+
+    xml = make_binning_xml(tmp_path / "binning.xml", n_layers=N_LAYERS, n_r=N_R,
+                           n_alpha=N_ALPHA)
+    h5 = make_shower_hdf5(tmp_path / "showers.hdf5", n_events=256, n_voxels=N_VOX)
+    geo = {"xml": str(xml), "h5": str(h5)}
+
+    def write_pt(run_dir, cfg, net_sd):
+        run_dir.mkdir(parents=True)
+        (run_dir / "models").mkdir()
+        cfg.run_dir = str(run_dir)
+        (run_dir / "config.yaml").write_text(OmegaConf.to_yaml(cfg))
+        torch.save(
+            {"model": {f"net.{k}": v for k, v in net_sd.items()},
+             "optimizer": {}, "scheduler": None, "ema": None},
+            str(run_dir / "models" / "model_run0.pt"),
+        )
+
+    # --- energy run dir (reference ParallelTransformer weights + u stats)
+    e_cfg = _energy_cfg(tmp_path, geo)
+    torch.manual_seed(53)
+    ref_energy = ref_energy_module.ParallelTransformer(
+        e_cfg.model.net.param.to_container()
+    )
+    e_dir = tmp_path / "runs" / "E2E_energy" / "energy"
+    write_pt(e_dir, e_cfg, ref_energy.state_dict())
+    np.save(e_dir / "means_u.npy", np.zeros(N_LAYERS, np.float32))
+    np.save(e_dir / "stds_u.npy", np.ones(N_LAYERS, np.float32))
+
+    # --- shape run dir (reference ViT weights + voxel stats)
+    s_cfg = _shape_cfg(tmp_path, geo)
+    torch.manual_seed(59)
+    ref_vit = ref_vit_module.ViT(s_cfg.model.net.param.to_container())
+    s_dir = tmp_path / "runs" / "E2E_shape" / "shape"
+    write_pt(s_dir, s_cfg, ref_vit.state_dict())
+    np.save(s_dir / "means.npy", np.zeros((), np.float32))
+    np.save(s_dir / "stds.npy", np.ones((), np.float32))
+
+    # --- sample through both migrated models
+    cfg = _shape_cfg(tmp_path, geo)
+    cfg.train = False
+    cfg.warm_start_idx = 0
+    cfg.run_idx = 0
+    cfg.run_dir = str(s_dir)
+    exp = CaloChallenge(cfg)
+    exp()
+    samples, conds = exp.sample_n()
+    assert samples.shape == (48, 1, N_LAYERS, N_ALPHA, N_R)
+    assert np.isfinite(np.asarray(samples)).all()
+    # the energy net's frozen Fourier weights came from the torch checkpoint
+    fourier_w = np.asarray(exp.energy_model.net.cfg.fourier_w)
+    np.testing.assert_allclose(
+        fourier_w, ref_energy.time_embed[0].W.detach().numpy(), atol=1e-7
+    )
+
+
 def test_energy_ema_shadow_mapping(ref_energy_module):
     """torch_ema shadow ordering for the energy net (shared head module,
     frozen Fourier weights) maps onto the same tree as the model weights."""

@@ -27,6 +27,7 @@ from vit4hep_tpu.experiments.calochallenge import CaloChallenge
 from vit4hep_tpu.utils.checkpoint import load_checkpoint
 from vit4hep_tpu.utils.config import OmegaConf, instantiate
 from vit4hep_tpu.utils.logger import LOGGER
+from vit4hep_tpu.utils.torch_migration import maybe_convert_net_checkpoint
 
 ECAL_SHAPE = (10, 15, 15)
 HCAL_SHAPE = (48, 30, 30)
@@ -193,14 +194,21 @@ class CaloHadronic(CaloChallenge):
             dummy = fn(dummy, rank=self.rank)
         del dummy
 
+        model_path = os.path.join(str(energy_model_cfg.run_dir), "models", "model_run0")
+        converted = maybe_convert_net_checkpoint(energy_model_cfg.model, model_path)
         self.energy_model = instantiate(energy_model_cfg.model)
         template = self.energy_model.init_params(jax.random.PRNGKey(0))
-        model_path = os.path.join(str(energy_model_cfg.run_dir), "models", "model_run0")
-        restored = load_checkpoint(model_path, target={"params": template})
+        if converted is not None:
+            restored = {"params": converted}
+        else:
+            restored = load_checkpoint(model_path, target={"params": template})
         self.energy_model_params = jax.tree.map(
             lambda t, r: jax.numpy.asarray(r, t.dtype), template, restored["params"]
         )
-        LOGGER.info(f"Loaded energy model from {model_path}")
+        LOGGER.info(
+            f"Loaded energy model from {model_path}"
+            + (".pt (migrated torch checkpoint)" if converted else "")
+        )
 
     # ------------------------------------------------------------------ plot/eval
     def plot(self):

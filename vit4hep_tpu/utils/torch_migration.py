@@ -248,6 +248,30 @@ def convert_energy_state_dict(sd):
     return {"params": params}, config_patch
 
 
+def maybe_convert_net_checkpoint(model_cfg, model_path):
+    """Torch fallback for net-weight loading (the two-stage samplers'
+    ``load_energy_model``): when ``model_path`` (an orbax dir) is absent but
+    ``model_path + ".pt"`` exists, convert the reference checkpoint's "model"
+    section (what the reference itself loads there, experiment.py:338-345).
+
+    Returns the converted Flax variables, or ``None`` when the orbax path
+    should be used. Patches ``model_cfg.net.param`` in place (``fourier_w``)
+    for energy nets — call BEFORE instantiating the model.
+    """
+    import os
+
+    if os.path.exists(model_path) or not os.path.exists(model_path + ".pt"):
+        return None
+    sd = load_torch_checkpoint(model_path + ".pt", "model")
+    kind = net_kind_from_target(str(model_cfg.net._target_))
+    if kind == "energy":
+        variables, patch = convert_energy_state_dict(sd)
+        for k, v in patch.items():
+            model_cfg.net.param[k] = v
+        return variables
+    return convert_vit_state_dict(sd, vit1d=(kind == "vit1d"))
+
+
 def net_kind_from_target(target: str) -> str:
     """Classify a ``net._target_`` (reference- or native-style module path)
     for checkpoint conversion. Energy patterns are checked before the ViT
