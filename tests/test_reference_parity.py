@@ -211,6 +211,50 @@ def test_vit_sincos_and_causal_parity(ref_vit_module):
     np.testing.assert_allclose(out_ours, out_ref, atol=1e-5, rtol=1e-4)
 
 
+def test_finetuned_vit_forward_matches_reference(ref_vit_module):
+    """Fine-tuned checkpoints (embedder mappers from add_embedding_layers,
+    experiment_finetuning.py:78-118) convert to our x_mapper/c_mapper layout
+    and produce the same forward."""
+    import torch.nn as tnn
+
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.models.vit import ViT
+    from vit4hep_tpu.utils.torch_migration import convert_vit_state_dict
+
+    NEW_PATCH, NEW_COND = 6, 3
+    torch.manual_seed(61)
+    ref = ref_vit_module.ViT(VIT_PARAM)
+    for name, p in ref.named_parameters():
+        if "adaLN" in name or "final_layer.linear" in name:
+            with torch.no_grad():
+                p.copy_(0.05 * torch.randn_like(p))
+    # replicate add_embedding_layers' map_x/c_embedding surgery
+    ref.x_embedder = tnn.Sequential(
+        tnn.Linear(NEW_PATCH, VIT_PARAM["patch_dim"]), tnn.SiLU(), ref.x_embedder
+    )
+    ref.c_embedder = tnn.Sequential(
+        tnn.Linear(NEW_COND, VIT_PARAM["condition_dim"]), tnn.SiLU(), ref.c_embedder
+    )
+    ref.eval()
+
+    gen = np.random.default_rng(7)
+    x = gen.standard_normal((2, 24, NEW_PATCH), dtype=np.float32)
+    t = gen.uniform(0, 1, (2, 1)).astype(np.float32)
+    c = gen.standard_normal((2, NEW_COND), dtype=np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(c)).numpy()
+
+    ours = ViT({**VIT_PARAM, "in_patch_dim": NEW_PATCH, "in_condition_dim": NEW_COND})
+    out_ours = np.asarray(
+        ours.apply(
+            convert_vit_state_dict(ref.state_dict()),
+            jnp.asarray(x), jnp.asarray(t), jnp.asarray(c),
+        )
+    )
+    np.testing.assert_allclose(out_ours, out_ref, atol=1e-5, rtol=1e-4)
+
+
 def test_vit1d_forward_matches_reference(ref_vit_module):
     """ViT1D (cINN subnet backbone): same weights -> same output."""
     param = {**VIT_PARAM, "x_out": 2}

@@ -122,9 +122,23 @@ def convert_vit_state_dict(sd, vit1d=False):
             node = node.setdefault(p, {})
         node[flax_path[-1]] = entry
 
-    take("x_embedder", ("x_embedder",))
-    take("c_embedder.0", ("c_embedder", "Dense_0"))
-    take("c_embedder.2", ("c_embedder", "Dense_1"))
+    if "x_embedder.0.weight" in sd:
+        # fine-tuned net: x_embedder = Sequential(mapper, SiLU, backbone
+        # embedder) (reference experiment_finetuning.py:78-90) -> our
+        # x_mapper + x_embedder pair
+        take("x_embedder.0", ("x_mapper",))
+        take("x_embedder.2", ("x_embedder",))
+    else:
+        take("x_embedder", ("x_embedder",))
+    if "c_embedder.2.0.weight" in sd:
+        # fine-tuned net: c_embedder = Sequential(mapper, SiLU, backbone
+        # Sequential) (reference experiment_finetuning.py:106-118)
+        take("c_embedder.0", ("c_mapper",))
+        take("c_embedder.2.0", ("c_embedder", "Dense_0"))
+        take("c_embedder.2.2", ("c_embedder", "Dense_1"))
+    else:
+        take("c_embedder.0", ("c_embedder", "Dense_0"))
+        take("c_embedder.2", ("c_embedder", "Dense_1"))
     if not vit1d:
         take("t_embedder.mlp.0", ("t_embedder", "Dense_0"))
         take("t_embedder.mlp.2", ("t_embedder", "Dense_1"))
