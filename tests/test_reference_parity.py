@@ -1631,6 +1631,93 @@ def test_calohadronic_normalize_by_elayer_parity():
         np.testing.assert_allclose(np.asarray(d_ours[k]), orig, rtol=1e-3, atol=1e-4, err_msg=k)
 
 
+def test_resnet3d_classifier_parity():
+    """Eval-suite comparability: the 3-D ResNet real/fake classifier computes
+    the same eval-mode forward as the reference with transferred weights
+    (stem/blocks/downsample/BN/global-pool/e_norm-concat)."""
+    import jax
+    import jax.numpy as jnp
+
+    ref_resnet = _import_ref("experiments.calo_utils.ugr_evaluation.resnet")
+    from vit4hep_tpu.evaluation.classifiers import generate_model
+
+    IMG = (8, 12, 12)
+    torch.manual_seed(67)
+    ref = ref_resnet.generate_model(10, img_shape=IMG)
+    ref.eval()
+
+    ours = generate_model(10, img_shape=IMG)
+    gen = np.random.default_rng(107)
+    x = gen.standard_normal((4, 1 + int(np.prod(IMG)))).astype(np.float32)
+
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = jax.tree.map(np.asarray, variables["params"])
+
+    def conv_w(t):
+        return t.detach().numpy().transpose(2, 3, 4, 1, 0)
+
+    sd = ref.state_dict()
+    params["stem"]["kernel"] = conv_w(sd["conv1.weight"])
+    params["BatchNorm_0"]["scale"] = sd["bn1.weight"].numpy()
+    params["BatchNorm_0"]["bias"] = sd["bn1.bias"].numpy()
+    params["e_norm"]["scale"] = sd["e_norm.weight"].numpy()
+    params["e_norm"]["bias"] = sd["e_norm.bias"].numpy()
+    params["Dense_0"]["kernel"] = sd["fc.weight"].numpy().T
+    params["Dense_0"]["bias"] = sd["fc.bias"].numpy()
+    # 4 BasicBlocks (ResNet-10), in layer order; downsample -> Conv_2/BN_2
+    for i in range(4):
+        b = params[f"BasicBlock3D_{i}"]
+        pre = f"layer{i + 1}.0"
+        b["Conv_0"]["kernel"] = conv_w(sd[f"{pre}.conv1.weight"])
+        b["BatchNorm_0"]["scale"] = sd[f"{pre}.bn1.weight"].numpy()
+        b["BatchNorm_0"]["bias"] = sd[f"{pre}.bn1.bias"].numpy()
+        b["Conv_1"]["kernel"] = conv_w(sd[f"{pre}.conv2.weight"])
+        b["BatchNorm_1"]["scale"] = sd[f"{pre}.bn2.weight"].numpy()
+        b["BatchNorm_1"]["bias"] = sd[f"{pre}.bn2.bias"].numpy()
+        if f"{pre}.downsample.0.weight" in sd:
+            b["Conv_2"]["kernel"] = conv_w(sd[f"{pre}.downsample.0.weight"])
+            b["BatchNorm_2"]["scale"] = sd[f"{pre}.downsample.1.weight"].numpy()
+            b["BatchNorm_2"]["bias"] = sd[f"{pre}.downsample.1.bias"].numpy()
+
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x)).numpy()
+    out_ours = np.asarray(
+        ours.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                   jnp.asarray(x))
+    )
+    np.testing.assert_allclose(out_ours, out_ref, atol=2e-5, rtol=1e-4)
+
+
+def test_dnn_classifier_parity():
+    """The low/high-level DNN classifier forward matches the reference."""
+    import jax
+    import jax.numpy as jnp
+
+    ref_eval = _import_ref("experiments.calo_utils.ugr_evaluation.evaluate")
+    # importing the reference evaluate module sets torch's default dtype to
+    # float64 process-wide (evaluate.py:28) — undo before building models
+    torch.set_default_dtype(torch.float32)
+    from vit4hep_tpu.evaluation.classifiers import DNN
+
+    torch.manual_seed(71)
+    ref = ref_eval.DNN(num_layer=2, num_hidden=32, input_dim=10).float()
+    ref.eval()
+    ours = DNN(num_layer=2, num_hidden=32)
+
+    gen = np.random.default_rng(109)
+    x = gen.standard_normal((8, 10)).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = jax.tree.map(np.asarray, variables["params"])
+    linear_idx = [i for i, m in enumerate(ref.layers) if isinstance(m, torch.nn.Linear)]
+    for j, i in enumerate(linear_idx):
+        params[f"Dense_{j}"]["kernel"] = ref.layers[i].weight.detach().numpy().T
+        params[f"Dense_{j}"]["bias"] = ref.layers[i].bias.detach().numpy()
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x)).numpy()
+    out_ours = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out_ours, out_ref, atol=1e-5, rtol=1e-5)
+
+
 def test_high_level_features_parity(tmp_path):
     """HLF observables (Etot, per-layer E, EC/width eta-phi, sparsity) match
     the reference numpy implementation on the same geometry + showers."""

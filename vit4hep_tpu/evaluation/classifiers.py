@@ -57,10 +57,12 @@ class BasicBlock3D(nn.Module):
     def __call__(self, x, train: bool):
         residual = x
         y = nn.Conv(self.planes, (3, 3, 3), strides=self.stride, use_bias=False,
+                    padding=((1, 1),) * 3,
                     kernel_init=nn.initializers.he_normal())(x)
         y = nn.BatchNorm(use_running_average=not train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3, 3), use_bias=False,
+                    padding=((1, 1),) * 3,
                     kernel_init=nn.initializers.he_normal())(y)
         y = nn.BatchNorm(use_running_average=not train)(y)
         if residual.shape != y.shape:
@@ -84,6 +86,7 @@ class Bottleneck3D(nn.Module):
         y = nn.BatchNorm(use_running_average=not train)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3, 3), strides=self.stride, use_bias=False,
+                    padding=((1, 1),) * 3,
                     kernel_init=nn.initializers.he_normal())(y)
         y = nn.BatchNorm(use_running_average=not train)(y)
         y = nn.relu(y)
@@ -117,6 +120,7 @@ class ResNet3D(nn.Module):
         v = x[:, 1:].reshape((-1, *self.img_shape, 1))  # NDHWC
 
         v = nn.Conv(self.inplanes[0], (7, 7, 7), strides=(2, 2, 2), use_bias=False,
+                    padding=((3, 3),) * 3,  # torch-symmetric (SAME shifts on even dims)
                     kernel_init=nn.initializers.he_normal(), name="stem")(v)
         v = nn.BatchNorm(use_running_average=not train)(v)
         v = nn.relu(v)
