@@ -108,10 +108,16 @@ def test_apply_overrides_nested_creation():
 
 
 def test_apply_overrides_tilde_deletes():
-    """Hydra's ~key / ~key=value overrides delete the key (hydra override grammar)."""
+    """Hydra's ~key / ~key=value overrides delete the key; deleting a missing
+    key errors like hydra does."""
+    import pytest
+
     cfg = Config({"a": 1, "b": {"c": 2, "d": 3}})
-    apply_overrides(cfg, ["~a", "~b.c=2", "~b.missing", "~x.y.z"])
+    apply_overrides(cfg, ["~a", "~b.c=2"])
     assert "a" not in cfg
     assert "c" not in cfg.b
     assert cfg.b.d == 3
-    assert "x" not in cfg
+    with pytest.raises(ValueError, match="missing"):
+        apply_overrides(cfg, ["~b.missing"])
+    with pytest.raises(ValueError, match="x"):
+        apply_overrides(cfg, ["~x.y.z"])

@@ -451,6 +451,61 @@ def test_torch_checkpoint_warm_start(ref_vit_module, tmp_path):
     assert int(new_state.ema_updates) == 7
 
 
+def test_finetune_from_torch_backbone(ref_vit_module, tmp_path):
+    """Fine-tuning (FTMixin.init_model) accepts a reference torch backbone run
+    dir: the backbone .pt is converted before transfer_backbone_params."""
+    from test_finetuning_e2e import BB, TG, _geo, _shape_cfg
+
+    from vit4hep_tpu.experiments.calochallenge_finetuning import CaloChallengeFTCFM
+    from vit4hep_tpu.utils.config import Config, OmegaConf
+
+    bb_geo = _geo(tmp_path, "bb", seed=0, **BB)
+    bb_cfg = Config(_shape_cfg(
+        tmp_path, bb_geo, "FT_backbone", "bb", cond_dim=BB["n_layers"] + 1,
+        patch_grid=[4, 1, 3], patch_dim=4,
+    ))
+    bb_run = tmp_path / "runs" / "FT_backbone" / "bb"
+    (bb_run / "models").mkdir(parents=True)
+    bb_cfg.run_dir = str(bb_run)
+    bb_cfg.run_idx = 0
+    (bb_run / "config_0.yaml").write_text(OmegaConf.to_yaml(bb_cfg))
+
+    torch.manual_seed(73)
+    ref_backbone = ref_vit_module.ViT(bb_cfg.model.net.param.to_container())
+    torch.save(
+        {"model": {f"net.{k}": v for k, v in ref_backbone.state_dict().items()},
+         "optimizer": {}, "scheduler": None, "ema": None},
+        str(bb_run / "models" / "model_run0.pt"),
+    )
+
+    tg_geo = _geo(tmp_path, "tg", seed=1, **TG)
+    ft_cfg = _shape_cfg(
+        tmp_path, tg_geo, "FT_target", "ft", cond_dim=TG["n_layers"] + 1,
+        patch_grid=[4, 1, 3], patch_dim=2,
+    )
+    ft_cfg["exp_type"] = "calochallenge_ft_cfm"
+    ft_cfg["training"]["iterations"] = 5
+    ft_cfg["finetuning"] = {
+        "backbone_cfg": str(bb_run / "config_0.yaml"),
+        "backbone_lr": 1e-5, "head_lr": 1e-3, "embedder_lr": 1e-3,
+        "map_x_embedding": True, "map_c_embedding": False,
+        "reinitialize_x_embedding": False, "reinitialize_c_embedding": False,
+        "reinitialize_pos_embedding": True, "reinitialize_final_layer": True,
+        "interpolate": False,
+    }
+    exp = CaloChallengeFTCFM(Config(ft_cfg))
+    exp()
+    assert all(np.isfinite(v) for v in exp.train_loss)
+    # the backbone block weights came from the torch checkpoint and are
+    # frozen-ish under the tiny backbone_lr (5 steps at 1e-5 move them ~5e-5;
+    # x_embedder belongs to the embedder group and trains at embedder_lr)
+    got = np.asarray(
+        exp.state.params["params"]["block_0"]["Attention_0"]["Dense_0"]["kernel"]
+    )
+    want = ref_backbone.blocks[0].attn.qkv.weight.detach().numpy().T
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 def test_torch_pt_warm_start_e2e(ref_energy_module, tmp_path, shower_file, geometry):
     """Drop-in migration: a run dir holding only a reference-format
     models/model_run0.pt warm-starts `train=false` sampling end to end."""
@@ -491,6 +546,10 @@ def test_torch_pt_warm_start_e2e(ref_energy_module, tmp_path, shower_file, geome
     exp()
     assert int(exp.state.ema_updates) == 11
     assert exp.cfg.model.net.param.fourier_w is not None
+    # the fourier_w patch must be re-snapshotted so later orbax resumes of
+    # this run rebuild the same time features (full_run saves config.yaml
+    # before the warm-start restore applies the patch)
+    assert "fourier_w" in (run_dir / "config.yaml").read_text()
     samples, conds = exp.sample_n()
     assert samples.shape == (300, 5)
     assert np.all(np.isfinite(samples))
@@ -1333,6 +1392,13 @@ def test_add_angular_bins_parity(ref_transforms_module, tmp_path):
 
 
 def _import_ref(modname):
+    """Import a reference module, undoing its process-wide side effects
+    (evaluate.py sets torch's default dtype to float64 and matplotlib's
+    usetex/font rcParams at import time)."""
+    import matplotlib
+
+    rc_before = dict(matplotlib.rcParams)
+    dtype_before = torch.get_default_dtype()
     sys.path.insert(0, REFERENCE)
     try:
         import importlib
@@ -1340,6 +1406,8 @@ def _import_ref(modname):
         return importlib.import_module(modname)
     finally:
         sys.path.remove(REFERENCE)
+        torch.set_default_dtype(dtype_before)
+        matplotlib.rcParams.update(rc_before)
 
 
 def test_lemurs_normalize_by_elayer_parity():

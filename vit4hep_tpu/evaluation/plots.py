@@ -186,9 +186,11 @@ def plot_Etot_Einc_discrete(hlf_class, reference_class, arg):
                           label="reference")
             else:
                 ax.stairs(norm, bins, color=COLORS[0], lw=1.5, label="generated")
-        if energy < 1e3:
+        # panel-index thresholds as in the reference (:116-121): panels 0-2
+        # label in MeV (so 2^10 prints "1024 MeV"), 3-11 GeV, 12+ TeV
+        if i in (0, 1, 2):
             energy_label = f"E = {energy:.0f} MeV"
-        elif energy < 1e6:
+        elif i < 12:
             energy_label = f"E = {energy / 1e3:.1f} GeV"
         else:
             energy_label = f"E = {energy / 1e6:.1f} TeV"

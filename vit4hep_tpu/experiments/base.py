@@ -219,18 +219,18 @@ class BaseExperiment:
             model_path = os.path.join(
                 self.cfg.run_dir, "models", f"model_run{self.cfg.warm_start_idx}"
             )
-            if not os.path.exists(model_path) and os.path.exists(model_path + ".pt"):
-                # a run dir produced by the reference torch framework: migrate
-                # the weights in place so sampling / fine-tuning just works
-                state = self._restore_state_from_torch(state, model_path + ".pt")
-            else:
-                LOGGER.info(f"Loading model/optimizer/EMA state from {model_path}")
-                state = self._restore_state(state, model_path)
+            LOGGER.info(f"Loading model/optimizer/EMA state from {model_path}")
+            state = self._restore_state(state, model_path)
 
         self.state = mesh_lib.shard_state(state, self.mesh)
         del self._init_params
 
     def _restore_state(self, template, path):
+        if not os.path.exists(path) and os.path.exists(path + ".pt"):
+            # a run dir produced by the reference torch framework: migrate the
+            # weights in place so sampling / fine-tuning just works (this also
+            # covers FTMixin._init_optimizer, which calls _restore_state too)
+            return self._restore_state_from_torch(template, path + ".pt")
         restored = load_checkpoint(path, target=template)
         return jax.tree.map(lambda t, r: jnp.asarray(r, t.dtype), template, restored)
 
@@ -254,9 +254,13 @@ class BaseExperiment:
         if kind == "energy":
             variables, config_patch = tm.convert_energy_state_dict(model_sd)
             # the frozen Gaussian-Fourier time weights are static config here;
-            # rebuild the net so its time features match the trained network
+            # rebuild the net so its time features match the trained network,
+            # and re-snapshot the config so later orbax resumes of this run
+            # rebuild the same net (full_run saved config.yaml before this)
             self.cfg.model.net.param.fourier_w = config_patch["fourier_w"]
             self.model = instantiate(self.cfg.model)
+            self._save_config("config.yaml", to_tracker=False)
+            self._save_config(f"config_{self.cfg.run_idx}.yaml")
         else:
             variables = tm.convert_vit_state_dict(model_sd, vit1d=(kind == "vit1d"))
         params = jax.tree.map(

@@ -19,6 +19,7 @@ from vit4hep_tpu.experiments import train_state as ts
 from vit4hep_tpu.experiments.calochallenge import CaloChallenge
 from vit4hep_tpu.models import finetuning as ft
 from vit4hep_tpu.utils.checkpoint import load_checkpoint
+from vit4hep_tpu.utils.torch_migration import maybe_convert_net_checkpoint
 from vit4hep_tpu.utils.config import OmegaConf, instantiate
 from vit4hep_tpu.utils.logger import LOGGER
 
@@ -57,11 +58,18 @@ class FTMixin:
                 f"model_run{self.backbone_cfg.run_idx}",
             )
             LOGGER.info(f"Loading pretrained model from {model_path}")
-            try:
-                restored = load_checkpoint(model_path, target=None)
-            except FileNotFoundError as err:
-                raise ValueError(f"Cannot load model from {model_path}") from err
-            backbone_params = restored["params"] if "params" in restored else restored
+            converted = maybe_convert_net_checkpoint(self.backbone_cfg.model, model_path)
+            if converted is not None:
+                LOGGER.info("Backbone is a reference torch checkpoint — migrated")
+                backbone_params = converted  # already the net's variable dict
+            else:
+                try:
+                    restored = load_checkpoint(model_path, target=None)
+                except FileNotFoundError as err:
+                    raise ValueError(f"Cannot load model from {model_path}") from err
+                # orbax stores the TrainState: its "params" field is the net's
+                # variable dict
+                backbone_params = restored["params"] if "params" in restored else restored
             params = ft.transfer_backbone_params(params, backbone_params, self.cfg.finetuning)
 
         self.use_ema = bool(self.backbone_cfg.get("ema", self.cfg.get("ema", False)))

@@ -24,10 +24,9 @@ from vit4hep_tpu.data.calohadronic.datasets import (
 )
 from vit4hep_tpu.data.calohadronic.transforms import build_pipeline
 from vit4hep_tpu.experiments.calochallenge import CaloChallenge
-from vit4hep_tpu.utils.checkpoint import load_checkpoint
 from vit4hep_tpu.utils.config import OmegaConf, instantiate
 from vit4hep_tpu.utils.logger import LOGGER
-from vit4hep_tpu.utils.torch_migration import maybe_convert_net_checkpoint
+from vit4hep_tpu.utils.torch_migration import load_net_params
 
 ECAL_SHAPE = (10, 15, 15)
 HCAL_SHAPE = (48, 30, 30)
@@ -195,19 +194,12 @@ class CaloHadronic(CaloChallenge):
         del dummy
 
         model_path = os.path.join(str(energy_model_cfg.run_dir), "models", "model_run0")
-        converted = maybe_convert_net_checkpoint(energy_model_cfg.model, model_path)
-        self.energy_model = instantiate(energy_model_cfg.model)
-        template = self.energy_model.init_params(jax.random.PRNGKey(0))
-        if converted is not None:
-            restored = {"params": converted}
-        else:
-            restored = load_checkpoint(model_path, target={"params": template})
-        self.energy_model_params = jax.tree.map(
-            lambda t, r: jax.numpy.asarray(r, t.dtype), template, restored["params"]
+        self.energy_model, self.energy_model_params, migrated = load_net_params(
+            energy_model_cfg.model, model_path, jax.random.PRNGKey(0)
         )
         LOGGER.info(
             f"Loaded energy model from {model_path}"
-            + (".pt (migrated torch checkpoint)" if converted else "")
+            + (".pt (migrated torch checkpoint)" if migrated else "")
         )
 
     # ------------------------------------------------------------------ plot/eval

@@ -308,16 +308,21 @@ def apply_overrides(cfg: Config, overrides: list[str]):
         for p in parts[:-1]:
             if p not in node:
                 if delete:
-                    break
+                    raise ValueError(
+                        f"Could not delete '{key}': '{p}' is not in the config"
+                    )
                 node[p] = {}
             node = node[p]
+        if delete:
+            # hydra "~key" / "~key=value": remove the key (hydra errors on a
+            # missing key, so do we)
+            if parts[-1] not in node:
+                raise ValueError(
+                    f"Could not delete '{key}': '{parts[-1]}' is not in the config"
+                )
+            del node[parts[-1]]
         else:
-            if delete:
-                # hydra "~key" / "~key=value": remove the key if present
-                if parts[-1] in node:
-                    del node[parts[-1]]
-            else:
-                node[parts[-1]] = _parse_override_value(val)
+            node[parts[-1]] = _parse_override_value(val)
     return cfg
 
 

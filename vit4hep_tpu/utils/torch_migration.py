@@ -286,6 +286,30 @@ def maybe_convert_net_checkpoint(model_cfg, model_path):
     return convert_vit_state_dict(sd, vit1d=(kind == "vit1d"))
 
 
+def load_net_params(model_cfg, model_path, rng):
+    """Instantiate ``model_cfg`` and restore its net params from either an
+    orbax checkpoint dir or a reference torch ``.pt`` — the shared body of the
+    experiments' ``load_energy_model``. Returns ``(model, params, migrated)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.utils.checkpoint import load_checkpoint
+    from vit4hep_tpu.utils.config import instantiate
+
+    converted = maybe_convert_net_checkpoint(model_cfg, model_path)
+    model = instantiate(model_cfg)
+    template = model.init_params(rng)
+    if converted is not None:
+        restored = {"params": converted}
+    else:
+        restored = load_checkpoint(model_path, target={"params": template})
+    params = jax.tree.map(
+        lambda t, r: jnp.asarray(r, t.dtype), template, restored["params"]
+    )
+    return model, params, converted is not None
+
+
 def net_kind_from_target(target: str) -> str:
     """Classify a ``net._target_`` (reference- or native-style module path)
     for checkpoint conversion. Energy patterns are checked before the ViT
