@@ -1786,6 +1786,87 @@ def test_dnn_classifier_parity():
     np.testing.assert_allclose(out_ours, out_ref, atol=1e-5, rtol=1e-5)
 
 
+def test_histogram_suite_chi2_parity(tmp_path):
+    """Output-level parity of the histogram engine: run the REFERENCE plotters
+    and ours on identical showers (each with its own HLF implementation) and
+    compare every chi^2 separation power they record — locking the binning
+    conventions, not just the formulas."""
+    import re as _re
+    from types import SimpleNamespace
+
+    from conftest import make_binning_xml
+
+    ref_plots = _import_ref("experiments.calo_utils.ugr_evaluation.evaluate_plotting_helper")
+    from vit4hep_tpu.evaluation import plots as our_plots
+    from vit4hep_tpu.evaluation.high_level_features import HighLevelFeatures as OurHLF
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from experiments.calo_utils.ugr_evaluation.HighLevelFeatures import (
+            HighLevelFeatures as RefHLF,
+        )
+    finally:
+        sys.path.remove(REFERENCE)
+
+    xml = str(make_binning_xml(tmp_path / "binning.xml", particle="electron"))
+    gen = np.random.default_rng(113)
+    n, n_vox = 400, 60
+    energy = 10 ** gen.uniform(3, 5, (n, 1)).astype(np.float32)
+    frac = gen.uniform(0.6, 1.2, (n, 1)).astype(np.float32)
+
+    def showers(seed):
+        g = np.random.default_rng(seed)
+        s = g.exponential(1.0, (n, n_vox)).astype(np.float32)
+        s *= (g.random((n, n_vox)) > 0.3).astype(np.float32)
+        return s / s.sum(1, keepdims=True).clip(1e-9) * energy * frac
+
+    sample, reference = showers(1), showers(2)
+
+    def run_suite(plots_mod, hlf_cls, out_dir):
+        out_dir.mkdir()
+        hlf, ref_hlf = hlf_cls("electron", xml), hlf_cls("electron", xml)
+        hlf.CalculateFeatures(sample)
+        hlf.Einc = energy
+        ref_hlf.CalculateFeatures(reference)
+        ref_hlf.Einc = energy
+        arg = SimpleNamespace(
+            output_dir=str(out_dir), dataset="2", x_scale="log",
+            min_energy=0.5e-3 / 0.033,
+        )
+        common = ([hlf], ref_hlf, arg, ["model"], ["m0"], "")
+        plots_mod.plot_Etot_Einc(*common)
+        plots_mod.plot_E_layers(*common)
+        plots_mod.plot_ECEtas(*common)
+        plots_mod.plot_ECPhis(*common)
+        plots_mod.plot_ECWidthEtas(*common)
+        plots_mod.plot_ECWidthPhis(*common)
+        plots_mod.plot_sparsity(*common)
+        plots_mod.plot_weighted_depth_a(*common)
+        plots_mod.plot_weighted_depth_r(*common)
+        plots_mod.plot_z_profile(*common)
+        plots_mod.plot_r_profile(*common)
+        plots_mod.plot_cell_dist([sample], reference, arg, ["model"], ["m0"], "")
+        chi2 = (out_dir / "histogram_chi2_2_m0.txt").read_text()
+        return [float(v) for v in _re.findall(r"([0-9]*\.[0-9]+(?:e-?\d+)?)", chi2)]
+
+    seps_ref = run_suite(ref_plots, RefHLF, tmp_path / "ref_out")
+    seps_ours = run_suite(our_plots, OurHLF, tmp_path / "our_out")
+    # call-order layout: 1 Etot + 5 E_layer + 5 ECEta + 5 ECPhi + 5 WidthEta
+    # + 5 WidthPhi + 5 sparsity + 3 depth_a + 4 depth_r + z + r + cell = 41
+    assert len(seps_ref) == len(seps_ours) == 41
+    # depth_r middle alpha slices (indices 35, 36) differ BY DESIGN: the
+    # reference's CalculateWeightedDepthR has a precedence bug —
+    # `(edge_idx + 1) * len(self.r_edges[0]) - 1` instead of
+    # `(edge_idx + 1) * (len(self.r_edges[0]) - 1)` (HighLevelFeatures.py:112-115)
+    # — so its middle slices overlap their neighbours; ours are disjoint
+    # (first and last slice agree because the overlap clips at the layer edge)
+    mask = np.ones(41, bool)
+    mask[[35, 36]] = False
+    np.testing.assert_allclose(np.asarray(seps_ours)[mask],
+                               np.asarray(seps_ref)[mask], rtol=1e-4, atol=1e-7)
+    assert not np.allclose(seps_ours[35], seps_ref[35])  # the documented delta
+
+
 def test_high_level_features_parity(tmp_path):
     """HLF observables (Etot, per-layer E, EC/width eta-phi, sparsity) match
     the reference numpy implementation on the same geometry + showers."""

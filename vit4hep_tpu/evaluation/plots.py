@@ -381,9 +381,11 @@ def plot_Etot_Einc_scaled(hlfs, reference_class, arg, labels, input_names, p_lab
         _log_chi2(arg, input_names[i], f"Etot/Einc (scaled): separation power = {s}")
 
 
-def _profile_plot(hlfs, reference_class, arg, labels, getter_name, tag, xlabel):
+def _profile_plot(hlfs, reference_class, arg, labels, getter_name, tag, xlabel,
+                  input_names=(), chi2_tag=None):
     """Mean +- SEM energy profile across layer/radial indices with a ratio
-    panel (reference :2209-2363)."""
+    panel (reference :2209-2363). The separation power of the raw mean
+    profiles is logged per model (reference :2318-2330)."""
     ref_prof = getattr(reference_class, getter_name)()
     if not ref_prof:
         return
@@ -411,6 +413,10 @@ def _profile_plot(hlfs, reference_class, arg, labels, getter_name, tag, xlabel):
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = np.nan_to_num(means / ref_means, nan=1.0)
         ax[1].step(x, _steps(ratio), where="post", color=c, lw=1.0)
+        if chi2_tag and i < len(input_names):
+            s_pow = separation_power(ref_means, means)
+            _log_chi2(arg, input_names[i],
+                      f"{chi2_tag}: separation power = {s_pow}")
     ax[0].set_yscale("log")
     ax[0].set_ylabel("mean energy [MeV]")
     ax[0].legend(frameon=False)
@@ -425,12 +431,14 @@ def _profile_plot(hlfs, reference_class, arg, labels, getter_name, tag, xlabel):
 
 def plot_z_profile(hlfs, reference_class, arg, labels, input_names, p_label):
     _profile_plot(hlfs, reference_class, arg, labels, "GetElayers",
-                  "profile_energy_z", "layer index")
+                  "profile_energy_z", "layer index",
+                  input_names=input_names, chi2_tag="z profile")
 
 
 def plot_r_profile(hlfs, reference_class, arg, labels, input_names, p_label):
     _profile_plot(hlfs, reference_class, arg, labels, "GetEradial",
-                  "profile_energy_r", "radial index")
+                  "profile_energy_r", "radial index",
+                  input_names=input_names, chi2_tag="r profile")
 
 
 def plot_conditions(sample_conds, ref_conds, arg, labels, input_names, p_label):
