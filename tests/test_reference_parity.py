@@ -830,6 +830,43 @@ def test_patching_parity_ds1_multisection(ref_cfm_model_module):
     np.testing.assert_array_equal(back_ours, x)
 
 
+def test_patching_parity_calogan_per_section(ref_cfm_model_module):
+    """CaloGAN's per-section patch shapes (list_patch_shape) produce the same
+    token layout as the reference (experiments/calogan/model.py:55-88)."""
+    from vit4hep_tpu.ops.patching import MultiSectionPatcher
+
+    ref_model = _import_ref("experiments.calogan.model")
+
+    # CaloGAN: 3 layers (3,96), (12,12), (12,6) flattened -> per-section
+    # shapes with patch shapes that share one patch_dim (here 8)
+    list_shape = [(1, 3, 96), (1, 12, 12), (1, 12, 6)]
+    list_edges = [288, 144, 72]
+    list_patch_shape = [(1, 1, 8), (1, 4, 2), (1, 4, 2)]
+
+    ref = object.__new__(ref_model.CaloGANCFM)
+    ref.in_channels = 1
+    ref.list_shape = [list(s) for s in list_shape]
+    ref.list_edges = list(list_edges)
+    ref.list_patch_shape = [list(p) for p in list_patch_shape]
+    ref.num_patches_per_dim = [
+        tuple(s // p for s, p in zip(shape, pshape))
+        for shape, pshape in zip(list_shape, list_patch_shape)
+    ]
+    ref.num_patches_per_layer = [int(np.prod(d)) for d in ref.num_patches_per_dim]
+
+    ours = MultiSectionPatcher(list_shape, list_edges, list_patch_shape, in_channels=1)
+
+    gen = np.random.default_rng(127)
+    x = gen.standard_normal((2, 1, sum(list_edges)), dtype=np.float32)
+    tokens_ref = ref.to_patches(torch.from_numpy(x)).numpy()
+    tokens_ours = np.asarray(ours.to_patches(x))
+    np.testing.assert_array_equal(tokens_ours, tokens_ref)
+    back_ref = ref.from_patches(torch.from_numpy(tokens_ref)).numpy()
+    back_ours = np.asarray(ours.from_patches(tokens_ours))
+    np.testing.assert_array_equal(back_ours, back_ref)
+    np.testing.assert_array_equal(back_ours, x)
+
+
 # ---------------------------------------------------------------------------
 # RQS spline parity (the cINN numerics core)
 # ---------------------------------------------------------------------------
