@@ -153,3 +153,19 @@ def test_gaussian_fourier_projection():
         [np.sin([0.5 * 2 * np.pi, 0.5 * 2 * 2 * np.pi]), np.cos([np.pi, 2 * np.pi])]
     )
     np.testing.assert_allclose(np.asarray(out[0]), expected, atol=1e-6)
+
+
+def test_odeint_truncated_final_step():
+    """Non-dividing step_size follows torchdiffeq's fixed grid: full steps of
+    step_size plus one truncated final step — not n equal steps of a rounded
+    size. Euler on dy/dt = t over [0,1] with step 0.4 sums t_i * dt_i over
+    the grid [0, 0.4, 0.8, 1.0]: 0*0.4 + 0.4*0.4 + 0.8*0.2 = 0.32."""
+    import jax.numpy as jnp
+
+    y = ode.odeint(lambda t, y: t * jnp.ones_like(y), jnp.zeros(()),
+                   method="euler", step_size=0.4)
+    assert float(y) == pytest.approx(0.32, abs=1e-6)
+    # dividing step sizes are untouched
+    y = ode.odeint(lambda t, y: t * jnp.ones_like(y), jnp.zeros(()),
+                   method="euler", step_size=0.25)
+    assert float(y) == pytest.approx(0.25 * (0 + 0.25 + 0.5 + 0.75), abs=1e-6)

@@ -11,8 +11,10 @@ This replaces the reference's two native attention backends — torch SDPA
   for kernel tests.
 - ``impl="auto"``: picks flash when the shape is worth it, else XLA.
 
-All impls take q, k, v of shape (B, H, N, D) and an optional boolean mask
-(N, N) or (B, H, N, N), True = attend.
+All impls take q, k, v of shape (B, H, N, D) and an optional boolean mask,
+True = attend: (N, N) everywhere; (B, H, N, N) additionally on the XLA path
+(``auto`` routes batched/per-head masks to XLA — flash supports only a shared
+(N, N) mask).
 """
 
 from __future__ import annotations
@@ -30,7 +32,12 @@ def xla_attention(q, k, v, mask=None, scale=None):
         logits = jnp.where(mask, logits, _NEG_INF)
     weights = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
     weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+    # f32 PV accumulation keeps bf16 outputs consistent with the flash kernel
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
 
 
 def dot_product_attention(q, k, v, mask=None, impl="auto", scale=None):
@@ -44,8 +51,11 @@ def dot_product_attention(q, k, v, mask=None, impl="auto", scale=None):
         # flash kernel pays lane padding at head_dim 80 and loop overhead.
         # flash only becomes necessary when the (N, N) score tensor itself is
         # prohibitive, i.e. very long sequences (unpatched grids).
+        # the flash kernel only supports a shared (N, N) mask — batched /
+        # per-head masks must take the XLA path
         n = q.shape[-2]
-        impl = "flash" if n >= 1024 else "xla"
+        flash_ok = mask is None or mask.ndim == 2
+        impl = "flash" if (n >= 1024 and flash_ok) else "xla"
     if impl == "xla":
         return xla_attention(q, k, v, mask, scale=scale)
     if impl == "flash":

@@ -29,13 +29,8 @@ from jax.experimental import pallas as pl
 _NEG_INF = -1e30
 
 
-def _interpret() -> bool:
-    """Run kernels in interpreter mode off-TPU (CPU tests, virtual meshes)."""
-    return jax.default_backend() != "tpu"
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
+from vit4hep_tpu.ops.pallas_utils import interpret as _interpret
+from vit4hep_tpu.ops.pallas_utils import round_up as _round_up
 
 
 # ---------------------------------------------------------------------------

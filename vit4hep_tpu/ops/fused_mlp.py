@@ -32,12 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _round_up(n, m):
-    return ((n + m - 1) // m) * m
+from vit4hep_tpu.ops.pallas_utils import interpret as _interpret
+from vit4hep_tpu.ops.pallas_utils import round_up as _round_up
 
 
 def mlp_half_reference(x, shift, scale, gate, w1, b1, w2, b2):
@@ -53,7 +49,7 @@ def mlp_half_reference(x, shift, scale, gate, w1, b1, w2, b2):
 
 
 def _kernel(x_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-            t_pad, f_chunks):
+            f_chunks):
     """One grid step processes G batch elements' tokens at once.
 
     x_ref:  (G, T_pad, H) -> rows = G*T_pad for the matmuls
@@ -88,6 +84,11 @@ def _kernel(x_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
 def _fused_forward(x, shift, scale, gate, w1, b1, w2, b2, group=16, f_chunks=1):
     b, t, hdim = x.shape
     fdim = w1.shape[1]
+    if fdim % f_chunks:
+        raise ValueError(
+            f"f_chunks ({f_chunks}) must divide the hidden dim ({fdim}) — the "
+            "kernel's column chunks would silently drop the remainder"
+        )
     t_pad = _round_up(t, 8)
     b_pad = _round_up(b, group)
     xp = jnp.pad(x, [(0, b_pad - b), (0, t_pad - t), (0, 0)])
@@ -95,7 +96,7 @@ def _fused_forward(x, shift, scale, gate, w1, b1, w2, b2, group=16, f_chunks=1):
     mod = jnp.pad(mod, [(0, b_pad - b), (0, 0), (0, 0)])
 
     out = pl.pallas_call(
-        functools.partial(_kernel, t_pad=t_pad, f_chunks=f_chunks),
+        functools.partial(_kernel, f_chunks=f_chunks),
         grid=(b_pad // group,),
         in_specs=[
             pl.BlockSpec((group, t_pad, hdim), lambda i: (i, 0, 0)),

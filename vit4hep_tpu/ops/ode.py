@@ -58,8 +58,9 @@ NET_EVALS_PER_STEP = {"euler": 1, "midpoint": 2, "rk4": 4, "rk4_classic": 4}
 def odeint(f, y0, t0=0.0, t1=1.0, method="rk4", step_size=0.05, unroll=5):
     """Integrate dy/dt = f(t, y) from t0 to t1 on a fixed grid.
 
-    Returns y(t1). The number of steps is static: round((t1 - t0) / step_size),
-    so the loop compiles once for a given configuration. ``unroll`` is passed
+    Returns y(t1). The number of steps is static (full steps of ``step_size``
+    plus one truncated final step, torchdiffeq's fixed-grid semantics), so the
+    loop compiles once for a given configuration. ``unroll`` is passed
     to ``lax.scan``; 5 measures ~1% faster than 1 on the ds2 sampler (v5e)
     and plateaus beyond that — sampling programs compile once and then run
     hundreds of batches, so the extra compile time amortizes away. Override
@@ -68,17 +69,29 @@ def odeint(f, y0, t0=0.0, t1=1.0, method="rk4", step_size=0.05, unroll=5):
     if method not in _STEPPERS:
         raise ValueError(f"ODE method '{method}' not implemented ({list(_STEPPERS)})")
     stepper = _STEPPERS[method]
-    n_steps = int(round((t1 - t0) / step_size))
-    if n_steps <= 0:
+    span = t1 - t0
+    if step_size <= 0 or span <= 0:
         raise ValueError(f"step_size {step_size} too large for interval [{t0}, {t1}]")
-    dt = (t1 - t0) / n_steps
+    # torchdiffeq fixed-grid semantics: full steps of `step_size`, plus one
+    # truncated final step when step_size does not divide the interval
+    # (its grid is t0 + step_size * arange(...) with the last point clamped
+    # to t1) — NOT n equal steps of a rounded size
+    n_full = int(span / step_size + 1e-9)
+    remainder = span - n_full * step_size
+    if remainder < 1e-9 * max(1.0, abs(span)):
+        remainder = 0.0
+    if n_full <= 0 and remainder == 0.0:
+        raise ValueError(f"step_size {step_size} too large for interval [{t0}, {t1}]")
+    dt = step_size
 
-    ts = t0 + dt * jnp.arange(n_steps, dtype=jnp.float32)
+    ts = t0 + dt * jnp.arange(n_full, dtype=jnp.float32)
 
     def scan_body(y, t):
         return stepper(f, t, dt, y), None
 
     y_final, _ = jax.lax.scan(scan_body, y0, ts, unroll=unroll)
+    if remainder > 0.0:
+        y_final = stepper(f, t0 + dt * n_full, remainder, y_final)
     return y_final
 
 

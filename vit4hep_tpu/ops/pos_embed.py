@@ -87,6 +87,10 @@ def get_1d_sincos_pos_embed(num_patches, dim, temperature=10000):
     x = np.arange(prod_patches) / prod_patches
 
     fourier_dim = dim // 2
+    if fourier_dim < 2:
+        # omega's normalization divides by fourier_dim - 1; the reference
+        # would emit NaN embeddings here — fail loudly instead
+        raise ValueError(f"hidden_dim {dim} too small for a 1-D sincos embedding")
     omega = np.arange(fourier_dim) / (fourier_dim - 1)
     omega = 1.0 / (temperature**omega)
     args = x[:, None] * omega[None, :]
@@ -114,6 +118,8 @@ def get_3d_cartesian_sincos_pos_embed(num_patches, dim, temperature=10000):
 
 def _sincos_3d(z, y, x, dim, temperature):
     fourier_dim = dim // 6
+    if fourier_dim < 2:
+        raise ValueError(f"hidden_dim {dim} too small for a 3-D sincos embedding")
     omega = np.arange(fourier_dim) / (fourier_dim - 1)
     omega = 1.0 / (temperature**omega)
     z = z.ravel()[:, None] * omega[None, :]

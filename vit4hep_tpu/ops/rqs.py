@@ -21,8 +21,11 @@ keeps max round-trip error < 1e-4 in the bulk, verified in tests).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 MIN_BIN_WIDTH = 1e-6
@@ -87,14 +90,9 @@ def _rq_bin(x_or_y, xk, xkp, yk, ykp, dk, dkp, rev):
 # ---------------------------------------------------------------------------
 # nflows parametrization: fixed [-B, B] domain, linear identity tails
 # ---------------------------------------------------------------------------
-def _softmax(x):
-    x = x - jnp.max(x, axis=-1, keepdims=True)
-    e = jnp.exp(x)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
-
-
-def _softplus(x):
-    return jnp.logaddexp(x, 0.0)
+# thin aliases so the spline code reads like the reference formulas
+_softmax = functools.partial(jax.nn.softmax, axis=-1)
+_softplus = jax.nn.softplus
 
 
 def nflows_knots(theta, num_bins, bound):
