@@ -149,3 +149,26 @@ def test_reinit_wins_over_interpolate():
         np.array(out["params"]["block_0"]["adaLN_modulation"]["kernel"]),
         np.array(bb_params["params"]["block_0"]["adaLN_modulation"]["kernel"]),
     )
+
+
+def test_map_c_embedding_init_through_cfm():
+    """CFM.init_params must build example conditions of the TARGET width when
+    the net has a c_mapper (in_condition_dim), or the mapper kernel is created
+    against the backbone width and real batches crash."""
+    from vit4hep_tpu.models.calochallenge import CaloChallengeCFM
+    from vit4hep_tpu.models.finetuning import build_ft_vit_params
+
+    cfg = _ft_cfg(map_x_embedding=False, map_c_embedding=True)
+    net_cfg = build_ft_vit_params(BACKBONE_PARAM, TARGET_PARAM, cfg)
+    # target grid [[3,2,2]] with patch (1,2,6) -> 12 tokens x patch_dim 12
+    model = CaloChallengeCFM(
+        net=ViTNet(cfg=net_cfg), shape=[3, 4, 12], patch_shape=[1, 2, 6],
+        in_channels=1,
+    )
+    assert model.condition_dim == TARGET_PARAM["condition_dim"]
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 1, 3, 4, 12))
+    t = jnp.zeros((2, 1))
+    c = jnp.zeros((2, TARGET_PARAM["condition_dim"]))
+    out = model.forward(params, x, t, c)  # target-width conditions must work
+    assert out.shape == x.shape

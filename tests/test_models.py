@@ -231,3 +231,30 @@ def test_fused_mlp_block_equivalence():
         np.asarray(g_ref["params"]["block_0"]["MlpBlock_0"]["Dense_0"]["kernel"]),
         rtol=1e-3, atol=1e-6,
     )
+
+
+def test_ar_transformer_layer_cond_and_embeds():
+    """layer_cond appends the per-dimension one-hot in BOTH training and
+    sampling (the reference does, transformer.py:166-173); learned x/c embeds
+    exercise the Linear(-ReLU)-Linear embedding nets."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit4hep_tpu.models.ar_transformer import ARtransformer
+
+    model = ARtransformer({
+        "shape": [3], "n_con": 1, "dim_embedding": 32, "n_head": 2,
+        "n_encoder_layers": 1, "n_decoder_layers": 1, "dim_feedforward": 64,
+        "intermediate_dim": 64, "layers_per_block": 3,
+        "layer_cond": True, "x_embed": True, "c_embed": True,
+        "solver_kwargs": {"method": "euler", "options": {"step_size": 0.5}},
+    })
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3)), jnp.float32)
+    c = jnp.asarray(np.random.default_rng(1).normal(size=(4, 1)), jnp.float32)
+    loss = model.batch_loss(params, x, c, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    sample = model.sample_batch(params, c, jax.random.PRNGKey(2))
+    assert sample.shape == (4, 3)
+    assert np.isfinite(np.asarray(sample)).all()

@@ -1200,7 +1200,7 @@ def test_binned_rqs_block_parity(ref_vit_module, ref_inn_modules):
             "x_out": n_params, "patch_dim": P, "num_patches": [[3, 1, 2]],
             "prod_num_patches": T // 2,
         }),
-        num_patches=T, patch_dim=P, bins=NB, spatial=False,
+        bins=NB, spatial=False,
     )
     ref_sd = ref_block.state_dict()
     variables = {"params": {}}

@@ -107,6 +107,9 @@ class ARTransformerNet(nn.Module):
             for i in range(p.n_decoder_layers)
         ]
         self.subnet = _Subnet(p, name="subnet")
+        # torch nn.Transformer always applies final encoder/decoder LayerNorms
+        self.encoder_norm = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         if p.x_embed:
             self.x_embed_net = [nn.Dense(p.dim_embedding, name="x_embed_0"),
                                 nn.Dense(p.dim_embedding, name="x_embed_1")]
@@ -124,9 +127,11 @@ class ARTransformerNet(nn.Module):
         )
         return self.time_embed(feats)
 
-    def _embed(self, x, dim, embed_net):
+    def _embed(self, x, dim, embed_net, act=None):
         """One-hot + zero-pad or learned embedding + sinusoidal positions
-        (reference compute_embedding, :61-78)."""
+        (reference compute_embedding, :61-78). ``act`` sits between the two
+        embedding Linears (the reference's c_embed is Linear-ReLU-Linear,
+        x_embed Linear-Linear, transformer.py:39-49)."""
         p = self.cfg
         b, n, f = x.shape
         if embed_net is None:
@@ -134,12 +139,16 @@ class ARTransformerNet(nn.Module):
             n_rest = p.dim_embedding - dim - f
             pad = jnp.zeros((b, n, n_rest), x.dtype)
             return jnp.concatenate([x, one_hot, pad], axis=-1)
-        h = embed_net[1](embed_net[0](x))
+        h = embed_net[0](x)
+        if act is not None:
+            h = act(h)
+        h = embed_net[1](h)
         return h + jnp.asarray(_sincos_positional(n, p.dim_embedding))[None, :n]
 
     def _embed_c(self, c):
         return self._embed(c, self.cfg.n_con,
-                           self.c_embed_net if self.cfg.c_embed else None)
+                           self.c_embed_net if self.cfg.c_embed else None,
+                           act=nn.relu)
 
     def _embed_x(self, x):
         return self._embed(x, self.cfg.dims_in + 1,
@@ -150,10 +159,11 @@ class ARTransformerNet(nn.Module):
         causal = jnp.tril(jnp.ones((n, n), bool))  # True = attend
         for enc in self.encoders:
             src = enc(src)
+        src = self.encoder_norm(src)
         h = tgt
         for dec in self.decoders:
             h = dec(h, src, self_mask=causal)
-        return h
+        return self.decoder_norm(h)
 
     def __call__(self, c, x_t, t, x):
         """Teacher-forced parallel training pass (reference forward, :134-156).
@@ -235,6 +245,11 @@ class ARtransformerModel:
         keys = jax.random.split(rng, self.cfg.dims_in)
         for i in range(self.cfg.dims_in):
             emb = self.net.apply(params, c, x, method="embedding_for")
+            if self.cfg.layer_cond:
+                # reference transformer.py:166-173: one-hot of the dimension
+                # being generated is appended per autoregressive step
+                one_hot = jnp.zeros((b, 1, self.cfg.dims_in), emb.dtype).at[:, 0, i].set(1.0)
+                emb = jnp.concatenate([emb, one_hot], axis=-1)
             x_0 = jax.random.normal(keys[i], (b, 1), c.dtype)
 
             def f(t, x_t, emb=emb):

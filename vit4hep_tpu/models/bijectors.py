@@ -106,8 +106,6 @@ class BinnedRQSCouplingBlock(nn.Module):
     """
 
     subnet_ctor: Callable[[int], Any]  # out_params_per_scalar -> module
-    num_patches: int
-    patch_dim: int
     bins: int = 10
     min_bin_sizes: tuple = (0.01, 0.01)
     default_domain: tuple = (-15.0, 15.0, -15.0, 15.0)

@@ -67,22 +67,6 @@ class CaloChallengeCFM(CFM):
         p = int(math.prod(self.patch_shape)) * self.in_channels
         return (batch_size, t, p)
 
-    def sample_batch(self, params, c, rng):
-        """Integrate the ODE in token space: patching is a bijective
-        rearrangement and x_T ~ N(0,1) iid is invariant under it, so the
-        voxel<->token transposes can be hoisted out of the 20-step RK4 loop
-        (80 net evals) and applied once at the end."""
-        from vit4hep_tpu.ops.ode import odeint
-
-        x_T = jax.random.normal(rng, self.token_shape(c.shape[0]), dtype=jnp.float32)
-
-        def f(t, tokens):
-            t_b = jnp.full((tokens.shape[0], 1), t, tokens.dtype)
-            return self.net.apply(params, tokens, t_b, c)
-
-        tokens = odeint(f, x_T, t0=0.0, t1=1.0, **self.ode_kwargs)
-        return self.from_patches(tokens)
-
 
 class CaloChallengeCFM_DS1(CaloChallengeCFM):
     """Multi-section patching for irregular geometries (reference model.py:97-173).
@@ -216,8 +200,6 @@ class CaloChallengeCINN(CINN):
                 kw.setdefault("bins", 10)
                 return BinnedRQSCouplingBlock(
                     subnet_ctor=make_subnet(spatial),
-                    num_patches=T,
-                    patch_dim=P,
                     spatial=spatial,
                     **kw,
                 )

@@ -57,22 +57,5 @@ class CaloGANCFM(CFM):
     def _net_out(self, z, x_shape):
         return self.from_patches(z)
 
-    def sample_batch(self, params, c, rng):
-        """Token-space ODE integration (see CaloChallengeCFM.sample_batch):
-        patch transposes hoisted out of the RK4 loop."""
-        import jax
-        import jax.numpy as jnp
-
-        from vit4hep_tpu.ops.ode import odeint
-
-        x_T = jax.random.normal(
-            rng, (c.shape[0], self.patcher.total_patches, self.patcher.patch_dim),
-            dtype=jnp.float32,
-        )
-
-        def f(t, tokens):
-            t_b = jnp.full((tokens.shape[0], 1), t, tokens.dtype)
-            return self.net.apply(params, tokens, t_b, c)
-
-        tokens = odeint(f, x_T, t0=0.0, t1=1.0, **self.ode_kwargs)
-        return self.from_patches(tokens)
+    def token_shape(self, batch_size: int) -> tuple:
+        return (batch_size, self.patcher.total_patches, self.patcher.patch_dim)

@@ -44,6 +44,12 @@ class CFM:
     @property
     def condition_dim(self) -> int:
         cfg = self.net.cfg
+        # fine-tuned nets prepend a c_mapper taking the TARGET condition width
+        # (in_condition_dim); example conditions must use that width or the
+        # mapper kernel initializes against the backbone's
+        in_dim = getattr(cfg, "in_condition_dim", None)
+        if in_dim is not None:
+            return in_dim
         return getattr(cfg, "condition_dim", None) or getattr(cfg, "dims_c")
 
     def x_shape(self, batch_size: int) -> tuple:
@@ -83,15 +89,33 @@ class CFM:
         return jnp.mean((velocity - x_t_dot) ** 2)
 
     # -- sampling: one jitted lax.scan over the ODE grid ------------------------
+    def token_shape(self, batch_size: int):
+        """Patching subclasses return (B, T, P) to integrate the sampling ODE
+        in token space (patching is bijective and x_T ~ N(0,1) iid is invariant
+        under it, so the voxel<->token transposes hoist out of the RK4 loop);
+        None integrates in x-space."""
+        return None
+
     def sample_batch(self, params, c, rng):
         """Draw x_T ~ N(0,1) and integrate the learned velocity field t: 0 -> 1."""
-        x_T = jax.random.normal(rng, self.x_shape(c.shape[0]), dtype=jnp.float32)
+        tshape = self.token_shape(c.shape[0])
+        if tshape is None:
+            x_T = jax.random.normal(rng, self.x_shape(c.shape[0]), dtype=jnp.float32)
 
-        def f(t, x_t):
-            t_b = jnp.full((x_t.shape[0], 1), t, dtype=x_t.dtype)
-            return self.forward(params, x_t, t_b, c)
+            def f(t, x_t):
+                t_b = jnp.full((x_t.shape[0], 1), t, dtype=x_t.dtype)
+                return self.forward(params, x_t, t_b, c)
 
-        return odeint(f, x_T, t0=0.0, t1=1.0, **self.ode_kwargs)
+            return odeint(f, x_T, t0=0.0, t1=1.0, **self.ode_kwargs)
+
+        x_T = jax.random.normal(rng, tshape, dtype=jnp.float32)
+
+        def f(t, tokens):
+            t_b = jnp.full((tokens.shape[0], 1), t, tokens.dtype)
+            return self.net.apply(params, tokens, t_b, c)
+
+        tokens = odeint(f, x_T, t0=0.0, t1=1.0, **self.ode_kwargs)
+        return self.from_patches(tokens)
 
     def net_evals_per_sample(self) -> int:
         from vit4hep_tpu.ops.ode import NET_EVALS_PER_STEP

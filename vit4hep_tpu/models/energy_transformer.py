@@ -91,6 +91,7 @@ def _activation(name: str):
 class _MHA(nn.Module):
     d_model: int
     nhead: int
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -104,7 +105,7 @@ class _MHA(nn.Module):
         q = q.reshape(b, nq, self.nhead, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, nk, self.nhead, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, nk, self.nhead, hd).transpose(0, 2, 1, 3)
-        out = dot_product_attention(q, k, v, mask=mask, impl="xla")
+        out = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, self.d_model)
         return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
 
@@ -129,12 +130,14 @@ class _EncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     activation: str
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
-            x + _MHA(self.d_model, self.nhead, dtype=self.dtype, name="self_attn")(x, x)
+            x + _MHA(self.d_model, self.nhead, attn_impl=self.attn_impl,
+                     dtype=self.dtype, name="self_attn")(x, x)
         )
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             x + _FeedForward(self.d_model, self.dim_feedforward, self.activation,
@@ -150,17 +153,20 @@ class _DecoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     activation: str
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, memory, self_mask=None):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
-            x + _MHA(self.d_model, self.nhead, dtype=self.dtype, name="self_attn")(
+            x + _MHA(self.d_model, self.nhead, attn_impl=self.attn_impl,
+                     dtype=self.dtype, name="self_attn")(
                 x, x, mask=self_mask
             )
         )
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
-            x + _MHA(self.d_model, self.nhead, dtype=self.dtype, name="cross_attn")(x, memory)
+            x + _MHA(self.d_model, self.nhead, attn_impl=self.attn_impl,
+                     dtype=self.dtype, name="cross_attn")(x, memory)
         )
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
             x + _FeedForward(self.d_model, self.dim_feedforward, self.activation,
@@ -233,16 +239,16 @@ class ParallelTransformerNet(nn.Module):
             src = self._embed_c(condition.astype(dt))
             for i in range(p.num_encoder_layers):
                 src = _EncoderLayer(
-                    p.d_model, p.nhead, p.dim_feedforward, p.activation, dtype=dt,
-                    name=f"encoder_{i}",
+                    p.d_model, p.nhead, p.dim_feedforward, p.activation,
+                    attn_impl=p.attn_impl, dtype=dt, name=f"encoder_{i}",
                 )(src)
             memory = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="encoder_norm")(src)
 
         h = tgt
         for i in range(p.num_decoder_layers):
             h = _DecoderLayer(
-                p.d_model, p.nhead, p.dim_feedforward, p.activation, dtype=dt,
-                name=f"decoder_{i}",
+                p.d_model, p.nhead, p.dim_feedforward, p.activation,
+                attn_impl=p.attn_impl, dtype=dt, name=f"decoder_{i}",
             )(h, memory)
         h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="decoder_norm")(h)
 
