@@ -60,7 +60,10 @@ class CaloChallengeDataset:
 
         n = len(self.energy)
         trn_size = int(n * train_val_frac[0])
-        val_size = int(n * train_val_frac[1])
+        # keep at least one validation event: a truncated-to-zero val_size
+        # would make `[-0:]` the FULL dataset, silently validating on the
+        # training rows (latent bug in the reference, datasets.py:49-60)
+        val_size = max(1, int(n * train_val_frac[1])) if split == "validation" else 0
         if split == "training":
             self.layers, self.energy = self.layers[:trn_size], self.energy[:trn_size]
         elif split == "validation":

@@ -136,6 +136,8 @@ class NormalizeLayerEnergyGAN:
         if rev:
             us = np.array(data_dict["extra_dims"])
             us[:, -(self.n_layers - 1):] = np.clip(us[:, -(self.n_layers - 1):], 0.0, 1.0)
+            # reference clamps in place — the saved dict carries clipped u's
+            data_dict["extra_dims"] = us
             total_e = energy.reshape(-1) * us[:, 0]
             layer_es = []
             cum = np.zeros_like(total_e)

@@ -16,12 +16,9 @@ import numpy as np
 CALO_KEYS = ["ecal", "hcal"]
 
 
-def logit(array, alpha=1.0e-6, inv=False):
-    if inv:
-        z = 1.0 / (1.0 + np.exp(-array))
-        return (z - alpha) / (1 - 2 * alpha)
-    z = array * (1 - 2 * alpha) + alpha
-    return np.log(z / (1 - z))
+# one shared regularized logit across the transform families (the reference
+# re-defines it per module; a numerical fix must not diverge between them)
+from vit4hep_tpu.data.calochallenge.transforms import logit  # noqa: F401
 
 
 class CaloHadGlobalStandardizeFromFile:
@@ -183,6 +180,8 @@ class CaloHadNormalizeByElayer:
             energy = np.asarray(data_dict["energy"])
             b, n_layers = us.shape
             us[:, 1:] = np.clip(us[:, 1:], 0.0, 1.0)
+            # reference clamps in place — the saved dict carries clipped u's
+            data_dict["extra_dims"] = us
             layer_es = []
             total_e = energy.reshape(-1) * us[:, 0]
             remaining = total_e.copy()
@@ -285,14 +284,19 @@ class AddLEMURSConditions:
 
 
 def build_pipeline(transforms_cfg, run_dir, module=None):
-    """Ordered dict-protocol pipeline with *FromFile run-dir injection."""
+    """Ordered dict-protocol pipeline with *FromFile run-dir injection.
+
+    CaloHadronic injects only when the config leaves model_dir unset
+    (reference experiment.py:54-56) — an explicit model_dir (e.g. reusing a
+    pretrained run's normalization stats when fine-tuning) is honored.
+    The other families overwrite unconditionally, as their references do."""
     import sys
 
     module = module or sys.modules[__name__]
     steps = []
     for name, kwargs in transforms_cfg.items():
         kwargs = dict(kwargs) if kwargs else {}
-        if "FromFile" in name:
+        if "FromFile" in name and kwargs.get("model_dir") is None:
             kwargs["model_dir"] = run_dir
         steps.append(getattr(module, name)(**kwargs))
     return steps

@@ -195,12 +195,17 @@ class CollatedBatchIterator:
         return idx
 
     def _produce(self, out_q):
-        idx = self._epoch_indices()
-        for start in range(0, self.batches_per_epoch * self.batch_size, self.batch_size):
-            batch_idx = idx[start : start + self.batch_size]
-            data, classes = self.dataset.read_indices(batch_idx)
-            out_q.put(self.collator(data, classes))
-        out_q.put(None)
+        # exceptions must reach the consumer: a silently-dead producer leaves
+        # epoch_batches() blocked on out_q.get() forever
+        try:
+            idx = self._epoch_indices()
+            for start in range(0, self.batches_per_epoch * self.batch_size, self.batch_size):
+                batch_idx = idx[start : start + self.batch_size]
+                data, classes = self.dataset.read_indices(batch_idx)
+                out_q.put(self.collator(data, classes))
+            out_q.put(None)
+        except BaseException as exc:  # noqa: BLE001 — re-raised consumer-side
+            out_q.put(exc)
 
     def epoch_batches(self):
         out_q: queue.Queue = queue.Queue(maxsize=2)
@@ -210,6 +215,8 @@ class CollatedBatchIterator:
             item = out_q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def __iter__(self):
@@ -222,8 +229,7 @@ class CollatedBatchIterator:
         return next(self._iter)
 
 
-def enable_native_cache(dataset: LEMURSDataset, cache_dir, spec: dict,
-                        fields_from_event=None):
+def enable_native_cache(dataset: LEMURSDataset, cache_dir, spec: dict):
     """Switch a lazy dataset's ``read_indices`` to the native mmap record cache
     (vit4hep_tpu/data/native_cache.py). The cache is built once from the HDF5
     files (in index-map order, so global indices line up) and reused across
@@ -233,9 +239,20 @@ def enable_native_cache(dataset: LEMURSDataset, cache_dir, spec: dict,
 
     from vit4hep_tpu.data.native_cache import NativeRecordCache, build_cache
 
+    import hashlib
+
     cache_dir = str(cache_dir)
     os.makedirs(cache_dir, exist_ok=True)
-    tag = f"{type(dataset).__name__}_{len(dataset.index_map)}"
+    # fingerprint the exact record set: file paths in order, per-file counts,
+    # and the field spec — a record count alone collides (e.g. a validation
+    # split with the same event total as training would reuse its cache)
+    counts: dict = {}
+    for file_path, _, _ in dataset.index_map:
+        counts[file_path] = counts.get(file_path, 0) + 1
+    fingerprint = hashlib.sha1(
+        repr((sorted(counts.items()), sorted(map(str, spec)))).encode()
+    ).hexdigest()[:12]
+    tag = f"{type(dataset).__name__}_{len(dataset.index_map)}_{fingerprint}"
     cache_path = os.path.join(cache_dir, f"{tag}.v4cache")
 
     # per-record class indices in index-map order
@@ -260,7 +277,11 @@ def enable_native_cache(dataset: LEMURSDataset, cache_dir, spec: dict,
                     for k in spec
                 }
 
-        build_cache(cache_path, batches(), spec)
+        # atomic: a crash mid-build must not leave a half-written cache that
+        # poisons every later run, and concurrent builders must not interleave
+        tmp_path = f"{cache_path}.tmp.{os.getpid()}"
+        build_cache(tmp_path, batches(), spec)
+        os.replace(tmp_path, cache_path)
 
     cache = NativeRecordCache(cache_path, spec)
     if len(cache) != len(dataset.index_map):

@@ -14,12 +14,9 @@ import os
 import numpy as np
 
 
-def logit(array, alpha=1.0e-6, inv=False):
-    if inv:
-        z = 1.0 / (1.0 + np.exp(-array))
-        return (z - alpha) / (1 - 2 * alpha)
-    z = array * (1 - 2 * alpha) + alpha
-    return np.log(z / (1 - z))
+# one shared regularized logit across the transform families (the reference
+# re-defines it per module; a numerical fix must not diverge between them)
+from vit4hep_tpu.data.calochallenge.transforms import logit  # noqa: F401
 
 
 class LEMURSGlobalStandardizeFromFile:
@@ -184,6 +181,9 @@ class LEMURSNormalizeByElayer:
             us = np.array(data_dict["extra_dims"])
             energy = np.asarray(data_dict["incident_energy"])
             us[:, 1:] = np.clip(us[:, 1:], 0.0, 1.0)
+            # the reference clamps in place, so the clipped u's are what ends
+            # up in the saved sample dict — mirror that
+            data_dict["extra_dims"] = us
             layer_es = []
             total_e = energy.reshape(-1) * us[:, 0]
             remaining = total_e.copy()
