@@ -329,12 +329,23 @@ class BaseExperiment:
         q: "queue.Queue" = queue.Queue(maxsize=depth)
 
         def worker():
-            for item in iterator:
-                q.put(self._put_batch(item))
+            # exceptions must reach the consumer — a silently-dead producer
+            # leaves the train loop blocked on q.get() forever
+            try:
+                for item in iterator:
+                    q.put(self._put_batch(item))
+                q.put(StopIteration())
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                q.put(exc)
 
         threading.Thread(target=worker, daemon=True).start()
         while True:
-            yield q.get()
+            item = q.get()
+            if isinstance(item, StopIteration):
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
     def train(self):
         self.train_lr, self.train_loss, self.val_loss = [], [], []
@@ -430,6 +441,12 @@ class BaseExperiment:
                     f"= {dt_estimate / 60**2:.2f}h{loss_str}"
                 )
 
+        # the trace must be closed even when the loop exits inside the window
+        # (early stop, or iterations <= window end) or the profile never writes
+        if profile_window and step >= profile_window[0]:
+            jax.profiler.stop_trace()
+            LOGGER.info(f"Saved profiler trace to {self.cfg.run_dir}/profile")
+
         self._drain_metrics(pending, log_every)
         dt = time.time() - self.training_start_time
         LOGGER.info(
@@ -450,7 +467,9 @@ class BaseExperiment:
                 f"model_run{self.cfg.run_idx}_it{smallest_val_loss_step}",
             )
             try:
-                self.state = self._restore_state(self.state, model_path)
+                self.state = mesh_lib.shard_state(
+                    self._restore_state(self.state, model_path), self.mesh
+                )
                 LOGGER.info(f"Loading model from {model_path}")
             except FileNotFoundError:
                 LOGGER.warning(
@@ -483,7 +502,9 @@ class BaseExperiment:
     def _plateau_step(self, val_loss):
         if self.plateau is None:
             return
-        if val_loss < self.plateau["best"]:
+        # torch ReduceLROnPlateau default: improvement only counts when
+        # val_loss < best * (1 - threshold), threshold 1e-4 (mode 'rel')
+        if val_loss < self.plateau["best"] * (1.0 - 1e-4):
             self.plateau["best"] = val_loss
             self.plateau["bad"] = 0
         else:

@@ -119,6 +119,19 @@ class CaloHadronic(CaloChallenge):
             if self.cfg.sample_us:
                 u_samples = self.sample_us(transformed_cond, batchsize_sample)
                 transformed_cond = np.concatenate([u_samples, transformed_cond], axis=1)
+                # fixed LEMURS conditions belong ONLY here (reference
+                # experiment_finetuning.py:239-262): the truth-us collator
+                # below already appends them via AddLEMURSConditions
+                if self.cfg.get("finetuning") and "gen_theta" in self.cfg:
+                    n = len(transformed_cond)
+                    extra = np.tile(
+                        np.asarray(
+                            [float(self.cfg.gen_theta), float(self.cfg.gen_phi)]
+                            + list(self.cfg.gen_label), np.float32,
+                        ),
+                        (n, 1),
+                    )
+                    transformed_cond = np.concatenate([transformed_cond, extra], axis=1)
             else:
                 collator = CaloHadCollator(
                     hdf5_train_dict=self.hdf5_dict_test,
@@ -133,16 +146,6 @@ class CaloHadronic(CaloChallenge):
                 transformed_cond = np.concatenate(
                     [c for _, c in it.epoch_batches()], axis=0
                 )
-            if self.cfg.get("finetuning") and "gen_theta" in self.cfg:
-                n = len(transformed_cond)
-                extra = np.tile(
-                    np.asarray(
-                        [float(self.cfg.gen_theta), float(self.cfg.gen_phi)]
-                        + list(self.cfg.gen_label), np.float32,
-                    ),
-                    (n, 1),
-                )
-                transformed_cond = np.concatenate([transformed_cond, extra], axis=1)
 
         key_sample, self.base_key = jax.random.split(self.base_key)
         sample = self._sample_in_batches(
@@ -234,6 +237,9 @@ class CaloHadronic(CaloChallenge):
             reference_u = np.array(reference_dict["extra_dims"])
             samples_u[:, 1:] = np.clip(samples_u[:, 1:], 0.0, 1.0)
             reference_u[:, 1:] = np.clip(reference_u[:, 1:], 0.0, 1.0)
+            # the reference clips in place, so its saved sample file carries
+            # the clipped u's — persist the same values
+            samples_dict["extra_dims"] = samples_u
 
             self.save_sample(samples_dict, name=f"_{self.cfg.run_idx}")
             from vit4hep_tpu.evaluation.us_evaluation import eval_ui_dists, plot_ui_dists

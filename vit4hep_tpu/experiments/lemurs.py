@@ -284,6 +284,9 @@ class LEMURS(CaloChallenge):
             reference_u = np.array(reference_dict["extra_dims"])
             samples_u[:, 1:] = np.clip(samples_u[:, 1:], 0.0, 1.0)
             reference_u[:, 1:] = np.clip(reference_u[:, 1:], 0.0, 1.0)
+            # the reference clips in place, so its saved sample file carries
+            # the clipped u's — persist the same values
+            samples_dict["extra_dims"] = samples_u
 
             self.save_sample(samples_dict, name=f"_{self.cfg.run_idx}")
             from vit4hep_tpu.evaluation.us_evaluation import eval_ui_dists, plot_ui_dists

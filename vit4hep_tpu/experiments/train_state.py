@@ -59,7 +59,9 @@ def _clip_by_global_norm(grads, norm, max_norm):
 
 
 def _ema_decay(base_decay, num_updates):
-    """torch_ema decay warmup: min(decay, (1 + n) / (10 + n))."""
+    """torch_ema decay warmup: min(decay, (1 + n) / (10 + n)) where n is the
+    POST-increment update count (torch_ema increments num_updates before
+    computing the decay — the first update uses n=1, i.e. decay 2/11)."""
     n = num_updates.astype(jnp.float32)
     return jnp.minimum(base_decay, (1.0 + n) / (10.0 + n))
 
@@ -104,7 +106,7 @@ def make_train_step(
 
         def apply(_):
             if state.ema_params is not None:
-                decay = _ema_decay(ema_decay, state.ema_updates)
+                decay = _ema_decay(ema_decay, state.ema_updates + 1)
                 new_ema = jax.tree.map(
                     lambda e, p: e * decay + p * (1.0 - decay),
                     state.ema_params,
@@ -140,14 +142,14 @@ def make_train_step(
 # ---------------------------------------------------------------------------
 # optimizer / schedule factories (reference base_experiment.py:329-431)
 # ---------------------------------------------------------------------------
-def make_schedule(training_cfg) -> optax.Schedule:
-    lr = float(training_cfg.lr)
+def make_schedule(training_cfg, lr=None) -> optax.Schedule:
+    lr = float(training_cfg.lr if lr is None else lr)
     name = training_cfg.get("scheduler")
+    if name is None:
+        return optax.constant_schedule(lr)
     iterations = int(training_cfg.iterations)
     scale = float(training_cfg.get("scheduler_scale", 1))
     steps = max(1, int(iterations * scale))
-    if name is None:
-        return optax.constant_schedule(lr)
     if name == "CosineAnnealingLR":
         eta_min = float(training_cfg.get("cosanneal_eta_min", 0.0))
         return optax.cosine_decay_schedule(lr, steps, alpha=eta_min / lr if lr else 0.0)
@@ -159,6 +161,14 @@ def make_schedule(training_cfg) -> optax.Schedule:
         )
     if name == "ReduceLROnPlateau":
         # plateau handling is host-driven via TrainState.lr_scale
+        if training_cfg.get("optimizer") == "Ranger":
+            # lr_scale multiplies the final updates, which would corrupt
+            # Lookahead's exact sync step (fast params must land ON the
+            # stored slow weights) — torch scales only the inner RAdam lr
+            raise ValueError(
+                "ReduceLROnPlateau + Ranger is not supported: the host-driven "
+                "lr_scale would break Lookahead's sync step"
+            )
         return optax.constant_schedule(lr)
     raise ValueError(f"Learning rate scheduler {name} not implemented")
 

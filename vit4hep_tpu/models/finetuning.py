@@ -145,15 +145,20 @@ def param_group_labels(params):
 
 
 def make_ft_optimizer(training_cfg, ft_cfg, params):
-    """3-group AdamW: {backbone_lr, head_lr, embedder_lr} (reference :199-205)."""
+    """3 param groups {backbone_lr, head_lr, embedder_lr} (reference :199-205).
+
+    Each group goes through the standard optimizer/schedule factory, so the
+    configured optimizer name AND lr scheduler apply per group (the reference
+    feeds its torch param groups through the base _init_optimizer/_init_
+    scheduler, which anneal every group's lr from its own initial value).
+    """
     import optax
 
-    betas = tuple(training_cfg.get("betas", (0.9, 0.999)))
-    eps = float(training_cfg.get("eps", 1e-8))
-    wd = float(training_cfg.get("weight_decay", 0.0))
+    from vit4hep_tpu.experiments import train_state as ts
 
     def group(lr):
-        return optax.adamw(float(lr), b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd)
+        schedule = ts.make_schedule(training_cfg, lr=float(lr))
+        return ts.make_optimizer(training_cfg, schedule)
 
     tx = optax.multi_transform(
         {
