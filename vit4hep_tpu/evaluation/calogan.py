@@ -9,13 +9,7 @@ import os
 import numpy as np
 
 from vit4hep_tpu.data.calogan.datasets import load_data
-from vit4hep_tpu.evaluation.classifiers import (
-    ClassifierConfig,
-    DNN,
-    evaluate_classifier,
-    train_classifier,
-    ttv_split,
-)
+from vit4hep_tpu.evaluation.classifiers import run_dnn_classifier
 from vit4hep_tpu.utils.logger import LOGGER
 
 
@@ -40,27 +34,7 @@ def eval_calogan_lowlevel(source_array, cfg):
     reference_array = np.concatenate(
         [reference_array, np.ones((len(reference_array), 1))], axis=1
     )
-    train_data, test_data, val_data = ttv_split(src, reference_array)
-
-    model = DNN(
-        num_layer=int(ev.eval_cls_n_layer),
-        num_hidden=int(ev.eval_cls_n_hidden),
-        dropout_probability=float(ev.eval_cls_dropout),
-    )
-    cls_cfg = ClassifierConfig(
-        lr=float(ev.eval_cls_lr),
-        batch_size=int(ev.eval_cls_batch_size),
-        n_epochs=int(ev.eval_cls_n_epochs),
-    )
-    _, apply_fn = train_classifier(model, train_data, test_data, cls_cfg)
-    acc, auc, jsd = evaluate_classifier(
-        apply_fn, val_data, calibration_data=test_data, final_eval=True
-    )
-    LOGGER.info("Final result of classifier test (AUC / JSD):")
-    LOGGER.info(f"{auc:.4f} / {jsd:.4f}")
-    with open(
+    return run_dnn_classifier(
+        src, reference_array, ev,
         os.path.join(out_dir, f"classifier_{ev.eval_mode}_{ev.eval_dataset}.txt"),
-        "a", encoding="utf-8",
-    ) as f:
-        f.write(f"Final result of classifier test (AUC / JSD):\n{auc:.4f} / {jsd:.4f}\n\n")
-    return acc, auc, jsd
+    )

@@ -13,13 +13,7 @@ import h5py
 import numpy as np
 
 from vit4hep_tpu.data.calohadronic.datasets import load_data
-from vit4hep_tpu.evaluation.classifiers import (
-    ClassifierConfig,
-    DNN,
-    evaluate_classifier,
-    train_classifier,
-    ttv_split,
-)
+from vit4hep_tpu.evaluation.classifiers import run_dnn_classifier
 from vit4hep_tpu.evaluation.plots import ratio_panel
 from vit4hep_tpu.utils.logger import LOGGER
 
@@ -154,21 +148,6 @@ def run_from_py(ecal, hcal, energy, cfg):
         [np.stack([s_g4[k] for k, _ in FEATURES], axis=1), layer_e_g4,
          np.zeros((len(ecal_g4), 1))], axis=1,
     )
-    train_data, test_data, val_data = ttv_split(gen_arr, g4_arr)
-    model = DNN(
-        num_layer=int(ev.eval_cls_n_layer),
-        num_hidden=int(ev.eval_cls_n_hidden),
-        dropout_probability=float(ev.eval_cls_dropout),
+    return run_dnn_classifier(
+        gen_arr, g4_arr, ev, os.path.join(output_dir, "classifier.txt")
     )
-    cls_cfg = ClassifierConfig(
-        lr=float(ev.eval_cls_lr), batch_size=int(ev.eval_cls_batch_size),
-        n_epochs=int(ev.eval_cls_n_epochs),
-    )
-    _, apply_fn = train_classifier(model, train_data, test_data, cls_cfg)
-    acc, auc, jsd = evaluate_classifier(
-        apply_fn, val_data, calibration_data=test_data, final_eval=True
-    )
-    LOGGER.info(f"Final result of classifier test (AUC / JSD): {auc:.4f} / {jsd:.4f}")
-    with open(os.path.join(output_dir, "classifier.txt"), "a", encoding="utf-8") as f:
-        f.write(f"Final result of classifier test (AUC / JSD):\n{auc:.4f} / {jsd:.4f}\n\n")
-    return acc, auc, jsd

@@ -314,3 +314,34 @@ def evaluate_classifier(apply_fn, val_data, calibration_data=None, final_eval=Fa
         LOGGER.info(f"rescaled calibration curve: {prob_true} {prob_pred}")
         LOGGER.info(f"classifier final (calibrated): acc {acc:.4f}, AUC {auc:.4f}, JSD {jsd:.4f}")
     return acc, auc, jsd
+
+
+def run_dnn_classifier(labeled_a, labeled_b, ev, out_path):
+    """Shared DNN real-vs-fake test: ttv-split two pre-labeled feature arrays
+    (last column = label, polarity chosen by the caller), train, isotonic-
+    calibrate, and append the AUC/JSD line to ``out_path``.
+
+    One copy of the flow used by the CaloGAN low-level, u-space, and
+    CaloHadronic feature classifiers. Returns (acc, auc, jsd)."""
+    train_data, test_data, val_data = ttv_split(labeled_a, labeled_b)
+    model = DNN(
+        num_layer=int(ev.eval_cls_n_layer),
+        num_hidden=int(ev.eval_cls_n_hidden),
+        dropout_probability=float(ev.eval_cls_dropout),
+    )
+    cls_cfg = ClassifierConfig(
+        lr=float(ev.eval_cls_lr),
+        batch_size=int(ev.eval_cls_batch_size),
+        n_epochs=int(ev.eval_cls_n_epochs),
+    )
+    _, apply_fn = train_classifier(model, train_data, test_data, cls_cfg)
+    acc, auc, jsd = evaluate_classifier(
+        apply_fn, val_data, calibration_data=test_data, final_eval=True
+    )
+    LOGGER.info("Final result of classifier test (AUC / JSD):")
+    LOGGER.info(f"{auc:.4f} / {jsd:.4f}")
+    import os
+
+    with open(out_path, "a", encoding="utf-8") as f:
+        f.write(f"Final result of classifier test (AUC / JSD):\n{auc:.4f} / {jsd:.4f}\n\n")
+    return acc, auc, jsd

@@ -85,7 +85,7 @@ class HighLevelFeatures:
         """Energy-weighted mean layer index, restricted to one radial bin
         (axis='r', one profile per r-index) or one angular bin (axis='a').
 
-        Returns array (n_bins_along_axis, events). ``group`` restricts the sum
+        Returns array (events, n_bins_along_axis). ``group`` restricts the sum
         to a contiguous subset of the relevant layers.
         """
         layers = np.asarray(self.relevantLayers)[group]

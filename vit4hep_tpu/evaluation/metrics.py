@@ -12,7 +12,12 @@ here following their definitions (Kansal et al., arXiv:2211.10295):
   kernel k(x, y) = (x.y / d + 1)^3, median over random batches.
 
 Features are standardized by the reference set's mean/std before either
-metric, as jetnet does.
+metric. NB: jetnet normalizes by the max absolute feature value instead, and
+its exact batching constants cannot be verified in this environment (the
+package is absent) — so absolute FPD/KPD values are self-consistent across
+runs of THIS harness but are not guaranteed numerically comparable to
+jetnet-computed numbers; relative comparisons (model A vs model B, or vs the
+AUC -> 0.5 target) are unaffected. Documented in PARITY.md "Known deltas".
 """
 
 from __future__ import annotations
@@ -40,8 +45,12 @@ def frechet_distance(x, y):
     return float(diff @ diff + np.trace(cov_x) + np.trace(cov_y) - 2 * np.trace(covmean))
 
 
-def fpd(reference, sample, min_samples=10000, num_points=10, seed=0):
-    """FPD with 1/N extrapolation; returns (value, fit std error)."""
+def fpd(reference, sample, min_samples=10000, num_points=10, num_batches=10,
+        seed=0):
+    """FPD with 1/N extrapolation; returns (value, fit std error).
+
+    Each subsample size is measured as the mean FD over ``num_batches``
+    independent draws, which stabilizes the 1/N intercept considerably."""
     reference = np.asarray(reference, np.float64)
     sample = np.asarray(sample, np.float64)
     reference, sample = _standardize(reference, sample)
@@ -52,9 +61,13 @@ def fpd(reference, sample, min_samples=10000, num_points=10, seed=0):
     sizes = np.unique(np.linspace(n_min, n_max, num_points).astype(int))
     vals, inv_n = [], []
     for n in sizes:
-        idx_r = rng.choice(len(reference), n, replace=False)
-        idx_s = rng.choice(len(sample), n, replace=False)
-        vals.append(frechet_distance(reference[idx_r], sample[idx_s]))
+        draws = []
+        n_draws = 1 if n == n_max else num_batches
+        for _ in range(n_draws):
+            idx_r = rng.choice(len(reference), n, replace=False)
+            idx_s = rng.choice(len(sample), n, replace=False)
+            draws.append(frechet_distance(reference[idx_r], sample[idx_s]))
+        vals.append(float(np.mean(draws)))
         inv_n.append(1.0 / n)
     if len(sizes) == 1:
         return vals[0], 0.0

@@ -230,14 +230,16 @@ def plot_E_layers(hlfs, reference_class, arg, labels, input_names, p_label):
                 _log_chi2(arg, input_names[i], f"E layer {key}: separation power = {s}")
 
 
-def _ec_lim(reference_class, arg, key, width=False):
-    """Axis limits per dataset (reference :729-751)."""
+def _ec_lim(reference_class, arg, key, getter_name, width=False):
+    """Axis limits per dataset (reference :729-751, 940-954, 1151-1165,
+    1364-1378). LEMURS derives each family's limits from ITS OWN observable
+    (min/max +- 5), not from the eta centroids."""
     if arg.dataset in ("2", "3"):
         return (0.0, 30.0) if width else (-30.0, 30.0)
     if arg.dataset == "LEMURS":
-        vals = reference_class.GetECEtas().get(key)
-        if vals is None or width:
-            return (0.0, 100.0)
+        vals = getattr(reference_class, getter_name)().get(key)
+        if vals is None:
+            return (0.0, 100.0) if width else (-100.0, 100.0)
         return (vals.min() - 5.0, vals.max() + 5.0)
     if key in (12, 13):
         return (0.0, 400.0) if width else (-500.0, 500.0)
@@ -250,7 +252,9 @@ def _plot_ec_family(hlfs, reference_class, arg, labels, input_names, p_label,
     with PdfPages(path) as pdf:
         ref_getter = getattr(reference_class, getter_name)
         for key in ref_getter():
-            bins = np.linspace(*_ec_lim(reference_class, arg, key, width), 51)
+            bins = np.linspace(
+                *_ec_lim(reference_class, arg, key, getter_name, width), 51
+            )
             seps = ratio_panel(
                 [getattr(h, getter_name)()[key] for h in hlfs], ref_getter()[key],
                 bins, f"{symbol} layer {key} [mm]", labels, p_label, pdf=pdf,
@@ -318,8 +322,9 @@ def _plot_depth_family(hlfs, reference_hlf, arg, labels, input_names, p_label,
 
 
 def plot_weighted_depth_a(hlfs, reference_class, arg, labels, input_names, p_label, L=1):
+    # NB the reference names this family "ring" (evaluate_plotting_helper.py:1796)
     _plot_depth_family(hlfs, reference_class, arg, labels, input_names, p_label,
-                       "GetWeightedDepthA", "Weighted_Depth_radial", L)
+                       "GetWeightedDepthA", "Weighted_Depth_ring", L)
 
 
 def plot_weighted_depth_r(hlfs, reference_class, arg, labels, input_names, p_label, L=1):

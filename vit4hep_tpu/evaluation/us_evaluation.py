@@ -13,13 +13,7 @@ import os
 
 import numpy as np
 
-from vit4hep_tpu.evaluation.classifiers import (
-    ClassifierConfig,
-    DNN,
-    evaluate_classifier,
-    train_classifier,
-    ttv_split,
-)
+from vit4hep_tpu.evaluation.classifiers import run_dnn_classifier
 from vit4hep_tpu.evaluation.plots import ratio_panel
 from vit4hep_tpu.utils.logger import LOGGER
 
@@ -44,7 +38,7 @@ def plot_ui_dists(
     the remaining ratios the upper bound is fixed at 1.05.
     """
     out_dir = _eval_dir(cfg) if cfg is not None else None
-    for i, (ref, gen) in enumerate(zip(np.asarray(ref_us).T, np.asarray(gen_us).T)):
+    for i, (ref, gen) in enumerate(zip(np.asarray(ref_us).T, np.asarray(gen_us).T, strict=True)):
         both = np.concatenate([ref, gen])
         if i == 0 or xlim == "auto":
             lo, hi = float(both.min()), float(both.max())
@@ -69,27 +63,7 @@ def eval_ui_dists(source_array, reference_array, cfg):
     ref = np.concatenate(
         [np.asarray(reference_array), np.ones((len(reference_array), 1))], axis=1
     )
-    train_data, test_data, val_data = ttv_split(src, ref)
-
-    model = DNN(
-        num_layer=int(ev.eval_cls_n_layer),
-        num_hidden=int(ev.eval_cls_n_hidden),
-        dropout_probability=float(ev.eval_cls_dropout),
-    )
-    cls_cfg = ClassifierConfig(
-        lr=float(ev.eval_cls_lr),
-        batch_size=int(ev.eval_cls_batch_size),
-        n_epochs=int(ev.eval_cls_n_epochs),
-    )
-    _, apply_fn = train_classifier(model, train_data, test_data, cls_cfg)
-    acc, auc, jsd = evaluate_classifier(
-        apply_fn, val_data, calibration_data=test_data, final_eval=True
-    )
-    LOGGER.info("Final result of classifier test (AUC / JSD):")
-    LOGGER.info(f"{auc:.4f} / {jsd:.4f}")
-    with open(
+    return run_dnn_classifier(
+        src, ref, ev,
         os.path.join(out_dir, f"classifier_{ev.eval_mode}_{ev.eval_dataset}.txt"),
-        "a", encoding="utf-8",
-    ) as f:
-        f.write(f"Final result of classifier test (AUC / JSD):\n{auc:.4f} / {jsd:.4f}\n\n")
-    return acc, auc, jsd
+    )
