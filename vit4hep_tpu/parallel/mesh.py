@@ -66,16 +66,3 @@ def shard_state(tree, mesh: Mesh):
     from vit4hep_tpu.parallel.sharding_rules import shard_tree
 
     return shard_tree(tree, mesh)
-
-
-def pad_to_multiple(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
-
-
-def local_batch_slice(global_batch: int, mesh: Mesh) -> int:
-    """Per-device batch size for a data-sharded batch (reference splits
-    ``batchsize // world_size``, experiments/calochallenge/experiment.py:94-98)."""
-    n_data = mesh.shape[DATA_AXIS]
-    if global_batch % n_data != 0:
-        raise ValueError(f"batch {global_batch} not divisible by data axis {n_data}")
-    return global_batch // n_data

@@ -94,7 +94,7 @@ def spmd_pipeline(block_fn, stage_params, x_mb, *ctx, axis_name="pipe"):
         tick, (act0, out0), jnp.arange(n_micro + n_stages - 1)
     )
     # replicate: only the last stage holds real outputs
-    out = jnp.where(stage == jax.lax.psum(1, axis_name) - 1, out, jnp.zeros_like(out))
+    out = jnp.where(stage == n_stages - 1, out, jnp.zeros_like(out))
     return jax.lax.psum(out, axis_name)
 
 

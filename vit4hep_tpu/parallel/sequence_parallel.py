@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from vit4hep_tpu.parallel.mesh import MODEL_AXIS
+from vit4hep_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 _NEG_INF = -1e30
 
@@ -71,7 +71,14 @@ def ring_attention(q, k, v, mesh, axis: str = MODEL_AXIS):
     if q.shape[2] % n_dev != 0:
         raise ValueError(f"sequence length {q.shape[2]} not divisible by {n_dev}")
 
-    spec = P(None, None, axis, None)
+    # keep the batch sharded over the data axis (when the mesh has one and the
+    # batch divides it): P(None, ...) would force an all-gather that
+    # replicates the whole batch across every data row
+    batch_axis = None
+    if DATA_AXIS in mesh.shape and DATA_AXIS != axis:
+        if mesh.shape[DATA_AXIS] > 1 and q.shape[0] % mesh.shape[DATA_AXIS] == 0:
+            batch_axis = DATA_AXIS
+    spec = P(batch_axis, None, axis, None)
     fn = jax.shard_map(
         functools.partial(
             _ring_shard, axis_name=axis, n_dev=n_dev, scale=q.shape[-1] ** -0.5

@@ -270,7 +270,11 @@ def _compose_file(config_dir: str, rel_name: str, group_dir: str = "") -> Config
                 if name is None:
                     continue
                 grp = group.lstrip("/")
-                node = _compose_file(config_dir, str(name), os.path.join(group_dir, grp))
+                # absolute group markers resolve from the config root, like the
+                # plain-string branch (hydra: '/model: x' in a nested config
+                # still loads configs/model/x.yaml and packages under `model`)
+                base = "" if group.startswith("/") else group_dir
+                node = _compose_file(config_dir, str(name), os.path.join(base, grp))
                 wrapper = Config({})
                 # nested groups: 'a/b' -> {'a': {'b': node}}
                 keys = grp.split("/")
@@ -427,31 +431,47 @@ def _locate(target: str):
 
 
 def instantiate(cfg, **kwargs):
-    """Recursively instantiate a config node with a ``_target_`` key (Hydra-compatible)."""
+    """Recursively instantiate a config node with a ``_target_`` key.
+
+    Hydra-compatible semantics: ``${...}`` interpolations are resolved (the
+    resolving accessor reaches the root config through the parent chain),
+    ``???`` raises :class:`MissingMandatoryValue`, and nested ``_target_``
+    nodes are instantiated at ANY depth — including below plain mapping
+    children and inside list elements.
+    """
     if isinstance(cfg, Config):
-        data = {k: cfg._data[k] for k in cfg._data}
+        # resolving accessor: interpolations substituted, ??? raises
+        data = {k: cfg[k] for k in cfg._data}
     elif isinstance(cfg, dict):
         data = dict(cfg)
+    elif isinstance(cfg, list):
+        return [_build_value(v) for v in cfg]
     else:
         return cfg
     if "_target_" not in data:
-        # plain mapping: instantiate children recursively
-        return {
-            k: instantiate(v) if isinstance(v, (Config, dict)) and _has_target(v) else v
-            for k, v in data.items()
-        }
+        # plain mapping: resolve + instantiate children recursively
+        return {k: _build_value(v) for k, v in data.items()}
     target = data.pop("_target_")
     cls = _locate(str(target))
-    call_kwargs = {}
-    for k, v in data.items():
-        if isinstance(v, (Config, dict)) and _has_target(v):
-            call_kwargs[k] = instantiate(v)
-        elif isinstance(v, Config):
-            call_kwargs[k] = v.to_container(resolve=True)
-        else:
-            call_kwargs[k] = v
+    call_kwargs = {k: _build_value(v) for k, v in data.items()}
     call_kwargs.update(kwargs)
     return cls(**call_kwargs)
+
+
+def _build_value(v):
+    """Resolve one instantiate() argument: nested targets become objects,
+    Config nodes become plain (resolved) dicts, lists recurse elementwise."""
+    if isinstance(v, Config):
+        if _has_target(v):
+            return instantiate(v)
+        return {k: _build_value(v[k]) for k in v._data}
+    if isinstance(v, dict):
+        if "_target_" in v:
+            return instantiate(v)
+        return {k: _build_value(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_build_value(x) for x in v]
+    return v
 
 
 def _has_target(node) -> bool:
