@@ -115,7 +115,6 @@ def bench_torch_cpu_baseline() -> float:
     except ImportError:
         return float("nan")
 
-    torch.set_num_threads(max(1, (torch.get_num_threads())))
     hidden, depth, heads, tokens, patch_dim, cond_dim = 480, 6, 6, 135, 48, 46
 
     class Block(nn.Module):
@@ -177,7 +176,9 @@ def main():
         "unit": "showers/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "implied_tflops": round(implied_tflops, 1),
-        "suspect_timing": bool(implied_tflops > 1000.0),
+        # a v5e peaks at ~200 bf16 TFLOP/s; anything past ~300 means the
+        # tunnel returned before the work ran (wedged-tunnel artifact)
+        "suspect_timing": bool(implied_tflops > 300.0),
     }))
 
 

@@ -11,7 +11,7 @@
 //
 // File layout (little endian):
 //   [0]  u64 magic            0x56344845503ULL ("V4HEP")
-//   [8]  u64 version          1
+//   [8]  u64 version          2 (v2: fields stored in sorted key order)
 //   [16] u64 n_records
 //   [24] u64 record_size      bytes per record
 //   [32] raw records, n_records * record_size bytes
@@ -60,7 +60,16 @@ void* cache_open(const char* path) {
     return nullptr;
   }
   const uint64_t* hdr = static_cast<const uint64_t*>(base);
-  if (hdr[0] != kMagic || hdr[1] != 1) {
+  // version 2: fields canonicalized to sorted key order by the writer
+  // (v1 caches used dict insertion order and must be rebuilt)
+  if (hdr[0] != kMagic || hdr[1] != 2) {
+    munmap(base, st.st_size);
+    ::close(fd);
+    return nullptr;
+  }
+  // reject truncated/corrupt files whose header survived: serving records
+  // past EOF would return garbage (or SIGBUS) with no error
+  if (32 + hdr[2] * hdr[3] > static_cast<uint64_t>(st.st_size)) {
     munmap(base, st.st_size);
     ::close(fd);
     return nullptr;

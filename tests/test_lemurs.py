@@ -203,3 +203,35 @@ def test_native_cache_spec_forms(tmp_path, lemurs_files):
     enable_native_cache(ds, tmp_path / "cache2", spec)
     data, _ = ds.read_indices([0, 3])
     assert data["showers"].shape == (2, H, W, L)
+
+
+def test_native_cache_guards(tmp_path, rng):
+    """Empty gathers return empty fields; a closed cache raises instead of
+    segfaulting; a truncated file with an intact header is rejected."""
+    from vit4hep_tpu.data.native_cache import NativeRecordCache, build_cache
+
+    spec = {"b_field": (3,), "a_field": (2,)}
+    path = tmp_path / "guards.v4cache"
+    batches = [{"b_field": rng.normal(size=(10, 3)).astype(np.float32),
+                "a_field": rng.normal(size=(10, 2)).astype(np.float32)}]
+    build_cache(path, iter(batches), spec)
+
+    cache = NativeRecordCache(path, spec)
+    out = cache.gather(np.array([], np.int64))
+    assert out["a_field"].shape == (0, 2) and out["b_field"].shape == (0, 3)
+    # fields canonicalized to sorted key order: same data regardless of the
+    # spec dict's insertion order
+    cache2 = NativeRecordCache(path, {"a_field": (2,), "b_field": (3,)})
+    np.testing.assert_array_equal(
+        cache.gather([1, 3])["a_field"], cache2.gather([1, 3])["a_field"]
+    )
+    cache2.close()
+    cache.close()
+    with pytest.raises(ValueError, match="closed"):
+        cache.gather([0])
+
+    # truncate the data section but keep the header: open must fail loudly
+    data = path.read_bytes()
+    path.write_bytes(data[: len(data) - 40])
+    with pytest.raises(OSError):
+        NativeRecordCache(path, spec)

@@ -8,9 +8,12 @@ mmaps the file and gathers arbitrary index sets with a thread pool while the
 GIL is released, so batch assembly runs at page-cache speed and fully overlaps
 with device compute (the train loop's prefetch thread).
 
+Fields are stored in SORTED key order (normalize_spec canonicalizes), so the
+on-disk layout never depends on dict insertion order.
+
 Usage:
     spec = {"showers": (4, 3, 5), "incident_energy": (1,), ...}
-    build_cache(path, iter_of_dicts_or_arrays)           # one-time
+    build_cache(path, iter_of_field_dicts, spec)         # one-time
     cache = NativeRecordCache(path, spec)
     batch = cache.gather(indices)                        # dict of np arrays
 """
@@ -28,6 +31,7 @@ import numpy as np
 from vit4hep_tpu.utils.logger import LOGGER
 
 _MAGIC = 0x56344845503
+_VERSION = 2  # v2: fields in sorted key order
 _HEADER = struct.Struct("<QQQQ")
 
 _SRC = Path(__file__).resolve().parents[2] / "native" / "record_cache.cpp"
@@ -46,7 +50,13 @@ def _load_lib():
             "-o", str(_LIB_PATH), str(_SRC), "-lpthread",
         ]
         LOGGER.info(f"Building native record cache: {' '.join(cmd)}")
-        subprocess.run(cmd, check=True, capture_output=True)
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except subprocess.CalledProcessError as e:
+            LOGGER.error(
+                "native cache build failed:\n%s", e.stderr.decode(errors="replace")
+            )
+            raise
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.cache_open.restype = ctypes.c_void_p
     lib.cache_open.argtypes = [ctypes.c_char_p]
@@ -86,7 +96,9 @@ def normalize_spec(spec: dict) -> dict:
                 f"native cache spec for '{key}' must be a shape tuple "
                 f"(or (shape, float32)), got {val!r}"
             ) from None
-    return out
+    # canonical field order: the file format stores no field names, so build
+    # and read must agree independently of dict insertion order
+    return {k: out[k] for k in sorted(out)}
 
 
 def record_size_of(spec: dict) -> int:
@@ -100,38 +112,30 @@ def build_cache(path, batches, spec: dict):
     Fields are flattened and concatenated per record in ``spec`` key order.
     """
     path = Path(path)
+    spec = normalize_spec(spec)
     rec_size = record_size_of(spec)
     n_total = 0
     with open(path, "wb") as f:
-        f.write(_HEADER.pack(_MAGIC, 1, 0, rec_size))
+        f.write(_HEADER.pack(_MAGIC, _VERSION, 0, rec_size))
         for batch in batches:
             n = len(next(iter(batch.values())))
-            flat = np.concatenate(
-                [np.asarray(batch[k], np.float32).reshape(n, -1) for k in spec],
-                axis=1,
-            )
-            assert flat.shape[1] * 4 == rec_size, (
-                f"record size mismatch: {flat.shape[1] * 4} != {rec_size}"
-            )
+            cols = []
+            for k, shape in spec.items():
+                arr = np.asarray(batch[k], np.float32).reshape(n, -1)
+                want = int(np.prod(shape))
+                if arr.shape[1] != want:
+                    raise ValueError(
+                        f"native cache field '{k}': batch has {arr.shape[1]} "
+                        f"elements per record, spec says {want}"
+                    )
+                cols.append(arr)
+            flat = np.concatenate(cols, axis=1)
             f.write(np.ascontiguousarray(flat).tobytes())
             n_total += n
         f.seek(0)
-        f.write(_HEADER.pack(_MAGIC, 1, n_total, rec_size))
+        f.write(_HEADER.pack(_MAGIC, _VERSION, n_total, rec_size))
     LOGGER.info(f"Wrote native cache {path}: {n_total} records x {rec_size} B")
     return path
-
-
-def cache_from_hdf5(path, hdf5_files, spec: dict, table="events"):
-    """Convert structured-events HDF5 files into one cache file."""
-    import h5py
-
-    def batches():
-        for fp in hdf5_files:
-            with h5py.File(fp, "r") as f:
-                events = f[table][:]
-                yield {k: np.asarray(events[k], np.float32) for k in spec}
-
-    return build_cache(path, batches(), spec)
 
 
 class NativeRecordCache:
@@ -157,6 +161,8 @@ class NativeRecordCache:
 
     def gather(self, indices) -> dict:
         """Gather records -> {field: (n, *shape) float32} in spec order."""
+        if not self.handle:
+            raise ValueError("record cache is closed")
         idx = np.ascontiguousarray(indices, np.int64)
         n = len(idx)
         out = np.empty(n * self.record_size // 4, np.float32)
@@ -169,7 +175,7 @@ class NativeRecordCache:
         )
         if rc != 0:
             raise IndexError("record index out of range")
-        out = out.reshape(n, -1)
+        out = out.reshape(n, self.record_size // 4)
         result, start = {}, 0
         for key, shape in self.spec.items():
             size = int(np.prod(shape))
