@@ -232,3 +232,23 @@ def test_reduce_lr_on_plateau_scale():
     assert shim.plateau["bad"] == 0
     BaseExperiment._plateau_step(shim, 0.5)   # new best resets
     assert shim.plateau["best"] == 0.5
+
+
+def test_training_fidelity(tmp_path, shower_file, geometry):
+    """Statistical fidelity, not just loss decrease: after a short training the
+    sampled u-vector distribution matches the training data's per-dimension
+    moments (measured headroom: mean absdiff ~0.02, std ratios 0.90-1.03 at
+    600 iterations — asserted with wide margins)."""
+    cfg = make_cfg(tmp_path, shower_file, geometry, iterations=600)
+    cfg.run_name = "run_fidelity"
+    cfg.use_mlflow = False
+    cfg.n_samples = 2000
+    cfg.training.validate_every_n_steps = 200
+    exp = CaloChallenge(cfg)
+    exp()
+    samples, _ = exp.sample_n()
+    samples = np.asarray(samples)
+    data = exp.train_dataset.layers
+    assert np.abs(samples.mean(0) - data.mean(0)).max() < 0.15
+    ratios = samples.std(0) / data.std(0)
+    assert ratios.min() > 0.7 and ratios.max() < 1.3
