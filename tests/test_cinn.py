@@ -169,7 +169,6 @@ def test_shape_cinn_forward_inverse(rng):
 
 def test_shape_cinn_loss_and_sampling(rng):
     model = _tiny_shape_cinn()
-    model.condition_dim = 5
     params = model.init_params(jax.random.PRNGKey(1))
     x = jnp.asarray(rng.normal(size=(4, 1, 4, 4, 2)), jnp.float32)
     c = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)

@@ -2,6 +2,7 @@
 sample -> warm-start resume. Uses a tiny CFM energy model on synthetic showers
 (the CPU-runnable slice named in SURVEY.md section 7 step 2)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -119,8 +120,12 @@ def test_full_lifecycle(trained_exp, tmp_path):
     assert all(np.isfinite(v) for v in exp.train_loss)
     assert len(exp.val_loss) >= 2
     assert int(exp.state.step) == 40
-    # EMA params exist and differ from raw params
+    # EMA params exist AND differ from raw params (a no-op EMA update would
+    # leave them equal to params modulo nothing)
     assert exp.state.ema_params is not None
+    leaf = jax.tree_util.tree_leaves(exp.state.params)[0]
+    ema_leaf = jax.tree_util.tree_leaves(exp.state.ema_params)[0]
+    assert not np.allclose(np.asarray(leaf), np.asarray(ema_leaf))
 
 
 def test_sampling(trained_exp):
@@ -198,7 +203,9 @@ def test_generate_einc_ds1_spectrum():
     (reference experiment.py:149-168)."""
     from vit4hep_tpu.experiments.calochallenge import CaloChallenge
 
-    e = CaloChallenge.generate_Einc_ds1(object(), sample_multiplier=3)
+    from types import SimpleNamespace
+
+    e = CaloChallenge.generate_Einc_ds1(SimpleNamespace(), sample_multiplier=3)
     vals, counts = np.unique(e, return_counts=True)
     np.testing.assert_allclose(vals, 2.0 ** np.arange(8, 23), rtol=1e-12)
     expected = np.array([10] * 11 + [5, 3, 2, 1]) * 3

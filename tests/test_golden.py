@@ -43,7 +43,6 @@ def _vit_out():
     params = net.init(k, x, t, c)
     # FinalLayer is zero-init -> output 0 at init; perturb the final kernel to
     # expose the full path
-    params = jax.tree_util.tree_map(lambda p: p, params)
     fl = params["params"]["final_layer"]["Dense_0"]
     fl["kernel"] = jax.random.normal(jax.random.fold_in(k, 9), fl["kernel"].shape) * 0.1
     return net.apply(params, x, t, c)

@@ -118,12 +118,15 @@ def test_lemurs_two_stage_sample_us(tmp_path):
     assert np.isfinite(samples).all()
 
     # regression: the shared pipeline must have kept its shower keys
+    matched = 0
     for fn in exp_s.transforms:
         keys = getattr(fn, "keys", None)
         if keys is not None and fn.__class__.__name__ in (
             "LEMURSGlobalStandardizeFromFile", "LEMURSExclusiveLogitTransform"
         ):
             assert "showers" in keys, f"{type(fn).__name__} lost its shower key"
+            matched += 1
+    assert matched >= 1  # a class rename must not silently skip the guard
 
     # the plot-branch full inverse: showers must come back physical (MeV)
     showers = np.transpose(np.asarray(samples)[:, 0], (0, 3, 2, 1))  # (B,H,W,L)

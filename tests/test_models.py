@@ -44,24 +44,16 @@ def test_vit_causal_mask_blocks_future_layers():
     c = jnp.ones((2, 6))
     params = net.init(jax.random.PRNGKey(1), x, t, c)
 
-    # perturbing the LAST layer's tokens must not change the FIRST layer's output
-    def probe(x):
-        h = x
-        # use intermediate after blocks via apply on modified input
-        return net.apply(params, h, t, c)
-
-    base = probe(x)
+    # perturbing the LAST layer's tokens must not change the FIRST layer's
+    # output; the final layer is zero-init so compare through the gradient:
+    # d out[first-layer tokens] / d x[last-layer tokens] == 0
     x_pert = x.at[:, -6:, :].add(10.0)
-    pert = probe(x_pert)
-    # final layer output is zero at init; instead compare with trained-ish params:
-    # re-run with non-zero final layer by perturbing params is complex — rely on
-    # gradient: d out[first-layer tokens] / d x[last-layer tokens] == 0
+
     def first_layer_sum(xin):
         return jnp.sum(net.apply(params, xin, t, c)[:, :6, :] ** 2)
 
     g = jax.grad(first_layer_sum)(x_pert)
     np.testing.assert_array_equal(np.asarray(g[:, -6:, :]), 0.0)
-    del base, pert
 
 
 def test_vit1d_forward_shape():

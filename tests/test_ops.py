@@ -119,11 +119,12 @@ def test_timestep_embedding_formula():
 
 
 def test_sincos_embeddings_shapes():
-    pe = pos_embed.get_3d_cylindrical_sincos_pos_embed((5, 4, 3), 36)
-    assert pe.shape == (60, 36)
-    pe = pos_embed.get_3d_cartesian_sincos_pos_embed((5, 4, 3), 36)
-    assert pe.shape == (60, 36)
-    assert np.all(np.abs(pe) <= 1.0)
+    pe_cyl = pos_embed.get_3d_cylindrical_sincos_pos_embed((5, 4, 3), 36)
+    assert pe_cyl.shape == (60, 36)
+    assert np.all(np.abs(pe_cyl) <= 1.0)
+    pe_cart = pos_embed.get_3d_cartesian_sincos_pos_embed((5, 4, 3), 36)
+    assert pe_cart.shape == (60, 36)
+    assert np.all(np.abs(pe_cart) <= 1.0)
 
 
 def test_learnable_fourier_embed_dims():

@@ -454,7 +454,7 @@ def test_torch_checkpoint_warm_start(ref_vit_module, tmp_path):
 def test_finetune_from_torch_backbone(ref_vit_module, tmp_path):
     """Fine-tuning (FTMixin.init_model) accepts a reference torch backbone run
     dir: the backbone .pt is converted before transfer_backbone_params."""
-    from test_finetuning_e2e import BB, TG, _geo, _shape_cfg
+    from tests.test_finetuning_e2e import BB, TG, _geo, _shape_cfg
 
     from vit4hep_tpu.experiments.calochallenge_finetuning import CaloChallengeFTCFM
     from vit4hep_tpu.utils.config import Config, OmegaConf
@@ -509,7 +509,7 @@ def test_finetune_from_torch_backbone(ref_vit_module, tmp_path):
 def test_torch_pt_warm_start_e2e(ref_energy_module, tmp_path, shower_file, geometry):
     """Drop-in migration: a run dir holding only a reference-format
     models/model_run0.pt warm-starts `train=false` sampling end to end."""
-    from test_experiment_e2e import make_cfg
+    from tests.test_experiment_e2e import make_cfg
 
     from vit4hep_tpu.experiments.calochallenge import CaloChallenge
 
@@ -660,7 +660,7 @@ def test_two_stage_from_torch_run_dirs(ref_vit_module, ref_energy_module, tmp_pa
     sample_us=true` must load the shape model via the torch warm-start path,
     load + migrate the energy model inside sample_us, and produce finite
     physical showers."""
-    from test_two_stage_e2e import (
+    from tests.test_two_stage_e2e import (
         N_ALPHA,
         N_LAYERS,
         N_R,
@@ -668,9 +668,7 @@ def test_two_stage_from_torch_run_dirs(ref_vit_module, ref_energy_module, tmp_pa
         _energy_cfg,
         _shape_cfg,
     )
-    from test_two_stage_e2e import geo as _geo_fixture  # noqa: F401 (shapes only)
-
-    from conftest import make_binning_xml, make_shower_hdf5
+    from tests.conftest import make_binning_xml, make_shower_hdf5
 
     from vit4hep_tpu.experiments.calochallenge import CaloChallenge
     from vit4hep_tpu.utils.config import OmegaConf
@@ -1305,7 +1303,7 @@ def ref_transforms_module():
 
 
 def _synthetic_geometry(tmp_path):
-    from conftest import make_binning_xml
+    from tests.conftest import make_binning_xml
 
     xml = make_binning_xml(tmp_path / "binning.xml", particle="photon")
     rng = np.random.default_rng(23)
@@ -1398,7 +1396,7 @@ def test_shape_pipeline_parity(ref_transforms_module, tmp_path):
 def test_add_angular_bins_parity(ref_transforms_module, tmp_path):
     """ds1-pions style alpha-bin padding (forward) and group max-pool (reverse)
     match the reference, including the u-column passthrough."""
-    from conftest import make_binning_xml
+    from tests.conftest import make_binning_xml
 
     import vit4hep_tpu.data.calochallenge.transforms as our_mod
 
@@ -1831,7 +1829,7 @@ def test_histogram_suite_chi2_parity(tmp_path):
     import re as _re
     from types import SimpleNamespace
 
-    from conftest import make_binning_xml
+    from tests.conftest import make_binning_xml
 
     ref_plots = _import_ref("experiments.calo_utils.ugr_evaluation.evaluate_plotting_helper")
     from vit4hep_tpu.evaluation import plots as our_plots

@@ -272,9 +272,9 @@ def test_u_only_application_leaves_pipeline_intact(tmp_path):
     np.testing.assert_array_equal(before["extra_dims"], after["extra_dims"])
     # and every step still lists showers among its keys
     for fn in steps:
-        assert "showers" in getattr(fn, "keys", ["showers"]), (
-            f"{type(fn).__name__} lost its shower key"
-        )
+        if hasattr(fn, "keys"):
+            assert "showers" in fn.keys, f"{type(fn).__name__} lost its shower key"
+    assert any(hasattr(fn, "keys") for fn in steps)  # the guard must bite
 
 
 def test_u_only_application_leaves_gan_pipeline_intact(tmp_path):
