@@ -49,3 +49,42 @@ def test_ft_config_targets_resolve(cfg_path):
         assert t in TARGET_REMAP or t.startswith("vit4hep_tpu."), (
             f"{cfg_path.name}: unmapped _target_ {t}"
         )
+
+
+EXPERIMENT_ROOT = Path(__file__).resolve().parents[1] / "configs"
+_CALO_EXP_CFGS = sorted(
+    p for p in (EXPERIMENT_ROOT / "calochallenge").rglob("*.yaml")
+)
+
+
+@pytest.mark.parametrize(
+    "cfg_path", _CALO_EXP_CFGS,
+    ids=lambda p: str(p.relative_to(EXPERIMENT_ROOT)),
+)
+def test_pipeline_geometry_matches_model(cfg_path):
+    """The transform pipeline's voxel geometry must agree with the model it
+    feeds: AddFeaturesToCond.split_index == prod(Reshape voxels) ==
+    prod(model shape). (The class of bug this guards: a cINN experiment
+    config carrying the CFM's padded geometry, or vice versa.)"""
+    import math
+
+    from vit4hep_tpu.utils.config import compose
+
+    name = str(cfg_path.relative_to(EXPERIMENT_ROOT).with_suffix(""))
+    cfg = compose(str(EXPERIMENT_ROOT), name)
+    if cfg.get("model_type") != "shape":
+        pytest.skip("energy configs have no voxel pipeline")
+    transforms = cfg.data.transforms
+    if "AddFeaturesToCond" not in transforms or "Reshape" not in transforms:
+        pytest.skip("no voxel reshape in this pipeline")
+    split = int(transforms["AddFeaturesToCond"]["split_index"])
+    reshape = [int(s) for s in transforms["Reshape"]["shape"]]
+    n_voxels_pipeline = math.prod(reshape) // int(cfg.model.get("in_channels", 1))
+    assert split == n_voxels_pipeline, (
+        f"{cfg_path.name}: split_index {split} != Reshape voxels {n_voxels_pipeline}"
+    )
+    model_shape = [int(s) for s in cfg.model.shape]
+    assert math.prod(model_shape) == n_voxels_pipeline, (
+        f"{cfg_path.name}: model shape {model_shape} != pipeline voxels "
+        f"{n_voxels_pipeline}"
+    )
