@@ -121,3 +121,8 @@ def test_apply_overrides_tilde_deletes():
         apply_overrides(cfg, ["~b.missing"])
     with pytest.raises(ValueError, match="x"):
         apply_overrides(cfg, ["~x.y.z"])
+    # hydra only deletes ~key=value when the value matches the current one;
+    # a mismatch must error rather than silently delete
+    with pytest.raises(ValueError, match="does not match"):
+        apply_overrides(cfg, ["~b.d=999"])
+    assert cfg.b.d == 3

@@ -166,15 +166,52 @@ def test_frechet_distance_identity(rng):
 def test_fpd_kpd_sanity(rng):
     x = rng.normal(size=(3000, 4))
     y = rng.normal(size=(3000, 4))
-    val, err = fpd(x, y, min_samples=500)
+    val, err = fpd(x, y, min_samples=500, max_samples=2000)
     assert abs(val) < 0.5
     k, _ = kpd(x, y, batch_size=500, num_batches=4)
     assert abs(k) < 0.1
     y_far = rng.normal(2.0, 1.0, size=(3000, 4))
-    val_far, _ = fpd(x, y_far, min_samples=500)
+    val_far, _ = fpd(x, y_far, min_samples=500, max_samples=2000)
     k_far, _ = kpd(x, y_far, batch_size=500, num_batches=4)
     assert val_far > val + 1
     assert k_far > k + 1
+
+
+def test_metrics_jetnet_estimator_pieces():
+    """Hand-computed pins of the jetnet estimator pieces (arXiv:2211.10295):
+    max-abs normalization by the REAL set, Gaussian Frechet distance, and the
+    KID-style unbiased cubic-kernel MMD^2."""
+    from vit4hep_tpu.evaluation.metrics import (
+        _mmd_unbiased, normalise_features)
+
+    # normalization: both sets scaled by max |real| per feature
+    real = np.array([[1.0, -2.0], [3.0, 4.0]])
+    gen = np.array([[6.0, 8.0]])
+    r, g = normalise_features(real, gen)
+    np.testing.assert_allclose(r, [[1 / 3, -0.5], [1.0, 1.0]])
+    np.testing.assert_allclose(g, [[2.0, 2.0]])
+
+    # 1-D Gaussian Frechet: (mu1-mu2)^2 + v1 + v2 - 2 sqrt(v1 v2)
+    x = np.array([[0.0], [2.0]])  # mu 1, var (ddof=1) 2
+    y = np.array([[1.0], [3.0]])  # mu 2, var 2
+    assert frechet_distance(x, y) == pytest.approx(1.0, abs=1e-9)
+
+    # unbiased MMD^2, k(a, b) = (a.b/d + 1)^3, hand-evaluated on 2+2 points
+    x = np.array([[1.0, 0.0], [0.0, 1.0]])
+    y = np.array([[1.0, 1.0], [0.0, 0.0]])
+    # kxx offdiag: 2 * (0/2+1)^3 = 2 -> /2 = 1 ; kyy offdiag: 2 * 1 -> 1
+    # kxy: (1.5^3 + 1 + 1.5^3 + 1)/4 = 2.1875
+    assert _mmd_unbiased(x, y) == pytest.approx(1 + 1 - 2 * 2.1875, abs=1e-12)
+
+    # with-replacement draws: sizes beyond the available statistics work
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(300, 3))
+    b = rng.normal(size=(300, 3))
+    val, err = fpd(a, b, min_samples=400, max_samples=800, num_batches=3,
+                   num_points=4)
+    assert np.isfinite(val) and np.isfinite(err)
+    k, ke = kpd(a, b, batch_size=500, num_batches=3)
+    assert np.isfinite(k) and np.isfinite(ke)
 
 
 def test_plot_ui_dists_and_classifier(tmp_path, rng):

@@ -259,3 +259,19 @@ def test_training_fidelity(tmp_path, shower_file, geometry):
     assert np.abs(samples.mean(0) - data.mean(0)).max() < 0.15
     ratios = samples.std(0) / data.std(0)
     assert ratios.min() > 0.7 and ratios.max() < 1.3
+
+
+def test_debug_backend_hooks():
+    """cfg.debug=true enables jax_debug_nans (the reference's
+    set_detect_anomaly analogue, base_experiment.py:30) and the run-end peak
+    memory report never raises (CPU backend exposes no peak stats)."""
+    exp = object.__new__(CaloChallenge)
+    exp.cfg = Config(
+        {"debug": True, "num_devices": 1, "model_parallel": 1, "dtype": "float32"}
+    )
+    try:
+        exp._init_backend()
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    exp._log_peak_memory()

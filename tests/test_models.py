@@ -109,6 +109,11 @@ def test_cfm_loss_and_sampler():
     sample = model.sample_batch(params, c, jax.random.PRNGKey(2))
     assert sample.shape == (8, 6)
     assert model.net_evals_per_sample() == 16  # 4 evals x 4 steps
+    # non-dividing step sizes cost one truncated extra step (torchdiffeq
+    # fixed-grid semantics mirrored by ops/ode.py:grid_steps)
+    model_frac = CFM(net, shape=[6],
+                     odeint_kwargs={"method": "rk4", "options": {"step_size": 0.4}})
+    assert model_frac.net_evals_per_sample() == 12  # 2 full + 1 remainder
 
 
 def test_calochallenge_cfm_patching_model():

@@ -310,3 +310,22 @@ def test_u_only_application_leaves_gan_pipeline_intact(tmp_path):
         np.testing.assert_array_equal(before[k], after[k], err_msg=k)
     for fn in steps:
         assert "layer_0" in fn.layer_keys, f"{type(fn).__name__} lost layer keys"
+
+
+def test_dataset_split_never_overlaps(shower_file, geometry):
+    """Degenerate train_val_frac like (1.0, 0.0): the validation split forces
+    one event from the tail, so the training slice must stop before it
+    (advisor finding, round 1)."""
+    from vit4hep_tpu.data.calochallenge.datasets import CaloChallengeDataset
+
+    kw = dict(
+        hdf5_file=shower_file,
+        particle_type=geometry["particle"],
+        xml_filename=geometry["xml"],
+        train_val_frac=(1.0, 0.0),
+    )
+    trn = CaloChallengeDataset(split="training", **kw)
+    val = CaloChallengeDataset(split="validation", **kw)
+    n = len(trn) + len(val)
+    assert len(val) == 1
+    assert len(trn) == n - 1  # capped: no shared rows with the val tail

@@ -65,6 +65,10 @@ class CaloChallengeDataset:
         # training rows (latent bug in the reference, datasets.py:49-60)
         val_size = max(1, int(n * train_val_frac[1])) if split == "validation" else 0
         if split == "training":
+            # never overlap the splits: when the val fraction truncates to
+            # zero events the validation split still forces one event from
+            # the tail, so cap the training slice before it
+            trn_size = min(trn_size, n - max(1, int(n * train_val_frac[1])))
             self.layers, self.energy = self.layers[:trn_size], self.energy[:trn_size]
         elif split == "validation":
             self.layers, self.energy = self.layers[-val_size:], self.energy[-val_size:]

@@ -337,8 +337,10 @@ def run_from_py(sample, energy, cfg):
         ref = prepare_high_data_for_classifier(
             reference_shower, reference_energy, reference_hlf, 1.0, cut=arg.cut
         )[:, :-1]
-        fpd_val, fpd_err = fpd(ref, src, min_samples=min(10000, len(src) // 2))
-        kpd_val, kpd_err = kpd(ref, src, batch_size=min(10000, len(src)))
+        # exact reference invocation (evaluate.py:778-783): jetnet draws with
+        # replacement, so no clamping to the available statistics is needed
+        fpd_val, fpd_err = fpd(ref, src, min_samples=10000)
+        kpd_val, kpd_err = kpd(ref, src, batch_size=10000)
         result = (
             f"FPD (x10^3): {fpd_val * 1e3:.4f} ± {fpd_err * 1e3:.4f}\n"
             f"KPD (x10^3): {kpd_val * 1e3:.4f} ± {kpd_err * 1e3:.4f}"

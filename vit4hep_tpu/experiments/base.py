@@ -151,6 +151,13 @@ class BaseExperiment:
         self.dtype = get_dtype(self.cfg.get("dtype", "float32"))
         LOGGER.info(f"Using mesh {dict(self.mesh.shape)} over {jax.devices()[0].platform}")
         LOGGER.info(f"Using dtype {self.dtype}")
+        if self.cfg.get("debug", False):
+            # anomaly-detection switch: the jax analogue of the reference's
+            # torch.autograd.set_detect_anomaly(debug)
+            # (reference base_experiment.py:30) — re-runs the op that
+            # produced a NaN de-optimized and raises with its location
+            jax.config.update("jax_debug_nans", True)
+            LOGGER.info("debug: jax_debug_nans enabled (detect-anomaly mode)")
 
     # ------------------------------------------------------------------ run
     def full_run(self):
@@ -189,10 +196,25 @@ class BaseExperiment:
             self.eval_sample(self.cfg.load_sample)
 
         dt = time.time() - t0
+        self._log_peak_memory()
         LOGGER.info(
             f"Finished experiment {self.cfg.exp_name}/{self.cfg.run_name} "
             f"after {dt / 60:.2f}min = {dt / 60**2:.2f}h"
         )
+
+    def _log_peak_memory(self):
+        """Device peak-memory report at run end (the jax analogue of the
+        reference's torch.cuda.max_memory_allocated log,
+        base_experiment.py:103-108). The CPU backend reports no memory
+        stats; TPU/GPU expose peak_bytes_in_use."""
+        for dev in jax.local_devices():
+            stats = getattr(dev, "memory_stats", lambda: None)() or {}
+            peak = stats.get("peak_bytes_in_use")
+            if peak is not None:
+                LOGGER.info(
+                    f"Peak device memory on {dev}: {peak / 2**30:.3f} GiB"
+                )
+                log_mlflow(f"peak_memory_gib_dev{dev.id}", peak / 2**30)
 
     # ------------------------------------------------------------------ model
     def init_model(self):

@@ -118,11 +118,13 @@ class CFM:
         return self.from_patches(tokens)
 
     def net_evals_per_sample(self) -> int:
-        from vit4hep_tpu.ops.ode import NET_EVALS_PER_STEP
+        from vit4hep_tpu.ops.ode import NET_EVALS_PER_STEP, grid_steps
 
         method = self.ode_kwargs.get("method", "rk4")
         step = self.ode_kwargs.get("step_size", 0.05)
-        return NET_EVALS_PER_STEP[method] * int(round(1.0 / step))
+        # mirror odeint's truncated-final-step grid: for step sizes that do
+        # not divide [0, 1] the remainder costs one extra stepper call
+        return NET_EVALS_PER_STEP[method] * grid_steps(step)
 
     def param_count(self, params) -> int:
         return sum(int(math.prod(p.shape)) for p in jax.tree.leaves(params))

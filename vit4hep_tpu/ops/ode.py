@@ -95,6 +95,19 @@ def odeint(f, y0, t0=0.0, t1=1.0, method="rk4", step_size=0.05, unroll=5):
     return y_final
 
 
+def grid_steps(step_size: float, t0: float = 0.0, t1: float = 1.0) -> int:
+    """Number of stepper invocations odeint() makes for this grid: full steps
+    of ``step_size`` plus one truncated final step when the step size does not
+    divide the interval (torchdiffeq fixed-grid semantics — mirror of the
+    arithmetic in :func:`odeint`)."""
+    span = t1 - t0
+    n_full = int(span / step_size + 1e-9)
+    remainder = span - n_full * step_size
+    if remainder < 1e-9 * max(1.0, abs(span)):
+        remainder = 0.0
+    return n_full + (1 if remainder > 0.0 else 0)
+
+
 def parse_odeint_kwargs(odeint_kwargs: dict | None) -> dict:
     """Translate the reference's torchdiffeq kwargs layout
     (``{method: rk4, options: {step_size: 0.05}}``) into odeint() arguments."""

@@ -319,11 +319,20 @@ def apply_overrides(cfg: Config, overrides: list[str]):
             node = node[p]
         if delete:
             # hydra "~key" / "~key=value": remove the key (hydra errors on a
-            # missing key, so do we)
+            # missing key, so do we); with a value, hydra only deletes when it
+            # matches the current one — a mismatch must error, not delete
             if parts[-1] not in node:
                 raise ValueError(
                     f"Could not delete '{key}': '{parts[-1]}' is not in the config"
                 )
+            if "=" in ov:
+                want = _parse_override_value(val)
+                have = node[parts[-1]]
+                if have != want:
+                    raise ValueError(
+                        f"Could not delete '{key}={val}': current value "
+                        f"{have!r} does not match"
+                    )
             del node[parts[-1]]
         else:
             node[parts[-1]] = _parse_override_value(val)
