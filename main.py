@@ -13,7 +13,17 @@ Usage (same CLI surface as the reference, minus hydra internals):
 
 from __future__ import annotations
 
+import os
 import sys
+
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin overrides JAX_PLATFORMS from the environment;
+    # re-assert it so `JAX_PLATFORMS=cpu python main.py ...` really runs on
+    # CPU (e.g. the synthetic-data verification drive) instead of silently
+    # grabbing the TPU tunnel
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from vit4hep_tpu.utils.config import compose_from_cli
 from vit4hep_tpu.utils.logger import LOGGER

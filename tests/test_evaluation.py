@@ -234,3 +234,44 @@ def test_plot_ui_dists_and_classifier(tmp_path, rng):
     assert (tmp_path / "eval_0" / "u2_dist.pdf").exists()
     acc, auc, jsd = eval_ui_dists(gen, ref, cfg)
     assert 0.3 < auc < 0.7
+
+
+def test_auc_gate_plumbing(tmp_path):
+    """tools/validate_tpu_config.py: classifier-result parsing and the
+    AUC-distance gate verdict (the adoption check for the TPU head-count
+    configs, BASELINE.md 'Head-count lever')."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    try:
+        from validate_tpu_config import compare_aucs, parse_classifier_results
+    finally:
+        _sys.path.remove("/root/repo/tools")
+
+    def write_run(name, aucs):
+        run = tmp_path / name / "eval_0"
+        run.mkdir(parents=True)
+        for key, auc in aucs.items():
+            # the harness appends one block per evaluation; the last wins
+            (run / f"classifier_all_{key}_2.txt").write_text(
+                "Final result of classifier test (AUC / JSD):\n"
+                f"0.9999 / 0.9\n\n"
+                "Final result of classifier test (AUC / JSD):\n"
+                f"{auc:.4f} / 0.0123\n\n"
+            )
+        return str(tmp_path / name)
+
+    parity = parse_classifier_results(
+        write_run("parity", {"cls-low": 0.62, "cls-high": 0.58}))
+    good = parse_classifier_results(
+        write_run("tpu_good", {"cls-low": 0.60, "cls-high": 0.59}))
+    bad = parse_classifier_results(
+        write_run("tpu_bad", {"cls-low": 0.71, "cls-high": 0.58}))
+
+    assert parity["cls-low"] == (0.62, 0.0123)  # last block parsed
+    ok, lines = compare_aucs(parity, good, tol=0.02)
+    assert ok and len(lines) == 2
+    ok_bad, lines_bad = compare_aucs(parity, bad, tol=0.02)
+    assert not ok_bad
+    assert any("FAIL" in ln for ln in lines_bad)
+    assert not compare_aucs(parity, {}, tol=0.02)[0]

@@ -1942,3 +1942,237 @@ def test_high_level_features_parity(tmp_path):
         np.testing.assert_allclose(
             ours.GetSparsity()[layer], ref.GetSparsity()[layer], rtol=1e-6
         )
+
+
+def test_cinn_graphinn_run_dir_migration(ref_vit_module, ref_inn_modules):
+    """Full GraphINN checkpoint conversion (utils/torch_migration.py:
+    convert_cinn_state_dict): a synthetic reference cINN state dict —
+    [coupling, permute] x 2 in FrEIA's ``module_list.{i}`` layout, built from
+    the actual reference block modules — converts to FlowChain params +
+    permutation indices, and the migrated CaloChallengeCINN reproduces the
+    torch composition (z and log|det J|), plus the EMA shadow mapping."""
+    import jax.numpy as jnp
+    import torch.nn as tnn
+
+    from vit4hep_tpu.utils.config import instantiate
+    from vit4hep_tpu.utils.torch_migration import (
+        convert_cinn_state_dict,
+        convert_ema_state_dict,
+        strip_state_dict_prefixes,
+    )
+
+    ref_nflows, _ = ref_inn_modules
+    sys.path.insert(0, REFERENCE)
+    try:
+        from nn.inn.subnets import SubnetViT
+    finally:
+        sys.path.remove(REFERENCE)
+
+    T, P, COND, NB, NBLOCKS = 6, 8, 4, 6, 2
+    vit_kwargs = {
+        "dim": 3, "condition_dim": COND, "hidden_dim": 48, "depth": 1,
+        "num_heads": 2, "mlp_ratio": 2.0, "learn_pos_embed": True,
+        "use_torch_sdpa": True,
+    }
+
+    def ref_subnet_ctor(x_in, x_out):
+        return SubnetViT(
+            x_out=x_out, patch_dim=P, num_patches=[[3, 1, 2]],
+            prod_num_patches=T // 2, **vit_kwargs,
+        )
+
+    class PermuteShim(tnn.Module):
+        """FrEIA PermuteRandom state-dict layout: perm/perm_inv as
+        non-trainable parameters (reference nn/inn/permute.py:31-32)."""
+
+        def __init__(self, n, seed):
+            super().__init__()
+            perm = np.random.RandomState(seed).permutation(n)
+            self.perm = tnn.Parameter(
+                torch.LongTensor(perm), requires_grad=False)
+            self.perm_inv = tnn.Parameter(
+                torch.LongTensor(np.argsort(perm)), requires_grad=False)
+
+        def forward(self, x):
+            return x[:, self.perm]
+
+    torch.manual_seed(11)
+    modules = []
+    for i in range(NBLOCKS):
+        block = ref_nflows.CaloRationalQuadraticSplineBlock(
+            dims_in=[(T, P)], dims_c=[(COND,)],
+            subnet_constructor=ref_subnet_ctor, num_bins=NB, bounds_init=1.0,
+            tails="linear", bounds_type="SOFTPLUS", spatial=False,
+        )
+        # zero-init FinalLayers make blocks the identity; perturb to expose
+        for name, p in block.named_parameters():
+            if "adaLN" in name or "final_layer.linear" in name:
+                with torch.no_grad():
+                    p.copy_(0.05 * torch.randn_like(p))
+        modules.append(block)
+        modules.append(PermuteShim(T, seed=100 + i))
+
+    graph = tnn.Module()
+    graph.module_list = tnn.ModuleList(modules)
+    full_sd = {f"net.{k}": v for k, v in graph.state_dict().items()}
+
+    model_sd = strip_state_dict_prefixes(full_sd)
+    params, perms = convert_cinn_state_dict(model_sd, "CaloRQSplineNFlows")
+    assert len(perms) == NBLOCKS
+    np.testing.assert_array_equal(
+        perms[0], graph.module_list[1].perm.numpy())
+
+    model = instantiate({
+        "_target_": "vit4hep_tpu.models.calochallenge.CaloChallengeCINN",
+        "shape": [6, 2, 4], "patch_shape": [[2, 2, 2]], "in_channels": 1,
+        "coupling_block": "CaloRQSplineNFlows", "nblocks": NBLOCKS,
+        "is_spatial": [False] * NBLOCKS,
+        "cinn_kwargs": {"num_bins": NB, "bounds_init": 1.0},
+        "vit_kwargs": {k: v for k, v in vit_kwargs.items()
+                       if k != "use_torch_sdpa"},
+        "permutations": perms,
+    })
+    variables = {"params": params}
+
+    gen = np.random.default_rng(41)
+    x_tok = gen.uniform(-1.2, 1.2, (5, T, P)).astype(np.float32)
+    c = gen.standard_normal((5, COND)).astype(np.float32)
+
+    # torch composition: block -> token permute, twice; then its inverse
+    with torch.no_grad():
+        zt = torch.from_numpy(x_tok)
+        jt = torch.zeros(5)
+        for i in range(NBLOCKS):
+            (zt,), j = graph.module_list[2 * i]((zt,), c=[torch.from_numpy(c)])
+            jt = jt + j
+            zt = graph.module_list[2 * i + 1](zt)
+        back_t = zt
+        for i in reversed(range(NBLOCKS)):
+            back_t = back_t[:, graph.module_list[2 * i + 1].perm_inv]
+            (back_t,), _ = graph.module_list[2 * i]((back_t,),
+                                                    c=[torch.from_numpy(c)],
+                                                    rev=True)
+
+    z_ours, j_ours = model.net.apply(variables, jnp.asarray(x_tok),
+                                     jnp.asarray(c), method=model.net.forward)
+    np.testing.assert_allclose(np.asarray(z_ours), zt.numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_ours), jt.numpy(),
+                               atol=1e-4, rtol=1e-4)
+
+    # inverse parity vs the torch inverse (NB the perturbation is kept small:
+    # at 0.3 the composed flow pushes values outside the spline domain where
+    # the inverse is ill-conditioned in BOTH frameworks — the reference's own
+    # round-trip error is ~0.21 there — and element-wise comparison of two
+    # f32 implementations becomes meaningless)
+    x_back, _ = model.net.apply(variables, z_ours, jnp.asarray(c),
+                                method=model.net.inverse)
+    np.testing.assert_allclose(np.asarray(x_back), back_t.numpy(),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(x_back), x_tok, atol=1e-4, rtol=1e-3)
+
+    # EMA shadows pair positionally with the trainable parameters
+    shadows = [1.01 * p.detach().clone()
+               for p in graph.parameters() if p.requires_grad]
+    ema_vars = convert_ema_state_dict(
+        {"shadow_params": shadows, "num_updates": 5}, model_sd, "cinn",
+        coupling_block="CaloRQSplineNFlows",
+    )
+    ref_leaf = 1.01 * model_sd["module_list.0._spline1.subnet.vit.x_embedder.weight"]
+    ours_leaf = ema_vars["params"]["blocks_0"]["subnet1"]["x_embedder"]["kernel"]
+    np.testing.assert_allclose(np.asarray(ours_leaf), ref_leaf.numpy().T,
+                               atol=1e-6)
+
+
+def test_cinn_torch_pt_warm_start_e2e(ref_vit_module, ref_inn_modules, tmp_path):
+    """Drop-in migration for cINN run dirs: a reference-format GraphINN
+    models/model_run0.pt warm-starts `train=false` sampling end to end, with
+    the checkpoint's permutation indices injected into the rebuilt model and
+    re-snapshotted into config.yaml."""
+    import torch.nn as tnn
+
+    from tests.conftest import make_binning_xml, make_shower_hdf5
+    from tests.test_cinn_e2e import _cfg
+    from vit4hep_tpu.experiments.calochallenge import CaloChallenge
+
+    _, ref_v2 = ref_inn_modules
+    sys.path.insert(0, REFERENCE)
+    try:
+        from nn.inn.subnets import SubnetViT
+    finally:
+        sys.path.remove(REFERENCE)
+
+    xml = make_binning_xml(tmp_path / "binning.xml", n_layers=4, n_r=3, n_alpha=4)
+    h5 = make_shower_hdf5(tmp_path / "showers.hdf5", n_events=256, n_voxels=48)
+    cfg = _cfg(tmp_path, {"xml": str(xml), "h5": str(h5)})
+
+    # reference-side graph matching cfg.model: shape [4,4,3] / patch [1,2,1]
+    # -> 24 tokens x patch_dim 2; CaloRQSplineFrEIA = rqs_v2 spline w/ SubnetViT
+    T, P, COND, NBLOCKS = 24, 2, 5, 2
+    vk = cfg.model.vit_kwargs.to_container()
+    torch.manual_seed(53)
+    modules = []
+    for i in range(NBLOCKS):
+        block = ref_v2.RationalQuadraticSpline(
+            [(T, P)], [(COND,)],
+            subnet_constructor=lambda x_in, x_out: SubnetViT(
+                x_out=x_out, patch_dim=P, num_patches=[[4, 2, 3]],
+                prod_num_patches=T // 2, use_torch_sdpa=True,
+                **{k: v for k, v in vk.items() if k != "out_channels"},
+                ),
+            bins=int(cfg.model.cinn_kwargs.bins),
+            min_bin_sizes=tuple(cfg.model.cinn_kwargs.min_bin_sizes),
+            default_domain=tuple(cfg.model.cinn_kwargs.default_domain),
+            identity_tails=bool(cfg.model.cinn_kwargs.identity_tails),
+            spatial=False,
+        )
+        for name, p in block.named_parameters():
+            if "adaLN" in name or "final_layer.linear" in name:
+                with torch.no_grad():
+                    p.copy_(0.05 * torch.randn_like(p))
+        modules.append(block)
+
+        perm = np.random.RandomState(7 + i).permutation(T)
+        shim = tnn.Module()
+        shim.perm = tnn.Parameter(torch.LongTensor(perm), requires_grad=False)
+        shim.perm_inv = tnn.Parameter(
+            torch.LongTensor(np.argsort(perm)), requires_grad=False)
+        modules.append(shim)
+
+    graph = tnn.Module()
+    graph.module_list = tnn.ModuleList(modules)
+
+    run_dir = tmp_path / "runs" / "TestCINN" / "run_torchpt"
+    (run_dir / "models").mkdir(parents=True)
+    torch.save(
+        {
+            "model": {f"net.{k}": v for k, v in graph.state_dict().items()},
+            "optimizer": {},
+            "scheduler": None,
+            "ema": {
+                "decay": 0.999,
+                "num_updates": 7,
+                "shadow_params": [
+                    p.detach().clone() for p in graph.parameters()
+                    if p.requires_grad
+                ],
+            },
+        },
+        str(run_dir / "models" / "model_run0.pt"),
+    )
+
+    cfg.run_name = "run_torchpt"
+    cfg.ema = True
+    cfg.train = False
+    cfg.warm_start_idx = 0
+    cfg.run_idx = 0
+    cfg.run_dir = str(run_dir)
+    exp = CaloChallenge(cfg)
+    exp()
+    assert int(exp.state.ema_updates) == 7
+    # the permutations must be injected + re-snapshotted for later resumes
+    assert list(exp.cfg.model.permutations[0]) == list(
+        graph.module_list[1].perm.numpy())
+    assert "permutations" in (run_dir / "config.yaml").read_text()
+    samples, conds = exp.sample_n()
+    assert np.all(np.isfinite(np.asarray(samples)))

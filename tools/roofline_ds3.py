@@ -1,0 +1,123 @@
+"""ds3 block-residue roofline decomposition (VERDICT round 1, weak #2).
+
+Times, as separate jitted programs on the attached device (each looping
+``INNER`` times inside one jit so dispatch overhead is amortized):
+  - the full DiTBlock stack at ds3 shapes (depth 6),
+  - attention only (qkv -> scores -> softmax -> PV -> proj),
+  - the adaLN-MLP half only,
+and prints per-block-eval times next to the analytic MXU / VPU / HBM floors
+(BASELINE.md "Roofline" section).
+
+Run: python tools/roofline_ds3.py  (uses the axon TPU; CPU works but floors
+are v5e-specific).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+B, N, H, HEADS, MLP = 256, 450, 480, 6, 4
+D = H // HEADS
+INNER = 10
+
+V5E_MXU_TFLOPS = 197e12
+V5E_VPU_OPS = 6.16e12  # 8x128 lanes x 4 ALUs x 1.50 GHz
+V5E_HBM_BPS = 819e9
+
+
+def timed(fn, *args):
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    # exact sync via scalar fetch (tunnel-safe)
+    float(jnp.sum(out[0]) if isinstance(out, tuple) else jnp.sum(out))
+    t0 = time.perf_counter()
+    out = jax.jit(fn)(*args)
+    float(jnp.sum(out[0]) if isinstance(out, tuple) else jnp.sum(out))
+    return (time.perf_counter() - t0) / INNER
+
+
+def main():
+    from vit4hep_tpu.models.vit import DiTBlock
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, N, H), jnp.float32)
+    c = jax.random.normal(jax.random.fold_in(key, 1), (B, H), jnp.float32)
+    block = DiTBlock(hidden=H, num_heads=HEADS, mlp_ratio=float(MLP), attn_impl="xla")
+    params = block.init(key, x, c)["params"]
+
+    def full_stack(x, c):
+        def body(h, _):
+            return block.apply({"params": params}, h, c), None
+        h, _ = jax.lax.scan(body, x, None, length=INNER)
+        return h
+
+    # attention sub-program: qkv -> heads -> softmax -> PV -> out-proj
+    kq = jax.random.fold_in(key, 2)
+    wqkv = jax.random.normal(kq, (H, 3 * H), jnp.float32) * 0.02
+    wo = jax.random.normal(jax.random.fold_in(key, 3), (H, H), jnp.float32) * 0.02
+
+    def attn_only(x):
+        def body(h, _):
+            qkv = h @ wqkv
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, N, HEADS, D).transpose(0, 2, 1, 3)
+            k = k.reshape(B, N, HEADS, D).transpose(0, 2, 1, 3)
+            v = v.reshape(B, N, HEADS, D).transpose(0, 2, 1, 3)
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(D)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+            o = o.transpose(0, 2, 1, 3).reshape(B, N, H)
+            return o @ wo, None
+        h, _ = jax.lax.scan(body, x, None, length=INNER)
+        return h
+
+    w1 = jax.random.normal(jax.random.fold_in(key, 4), (H, MLP * H), jnp.float32) * 0.02
+    w2 = jax.random.normal(jax.random.fold_in(key, 5), (MLP * H, H), jnp.float32) * 0.02
+
+    def mlp_only(x):
+        def body(h, _):
+            u = jax.nn.gelu(h @ w1, approximate=True)
+            return u @ w2, None
+        h, _ = jax.lax.scan(body, x, None, length=INNER)
+        return h
+
+    # warm-up fetch for tunnel backlog
+    float(jnp.zeros(()))
+
+    t_full = timed(full_stack, x, c)
+    t_attn = timed(attn_only, x)
+    t_mlp = timed(mlp_only, x)
+
+    flop_block = 2 * (12 * H * H * N + 2 * N * N * H) * B
+    flop_attn = 2 * (4 * H * H * N + 2 * N * N * H) * B
+    flop_mlp = 2 * (8 * H * H * N) * B
+    f32 = 4
+    bytes_attn = (3 * B * N * H * 2 + 2 * B * HEADS * N * N + B * N * H * 2) * f32
+    bytes_mlp = (B * N * MLP * H * 2 + B * N * H * 2) * f32
+    vpu_attn = B * HEADS * N * N * 6  # softmax ~6 ops/elem
+    vpu_mlp = B * N * MLP * H * 10    # tanh-gelu ~10 ops/elem
+
+    def report(name, t, flop, byts, vops):
+        print(f"{name:10s} {t * 1e3:8.2f} ms/eval | floors: "
+              f"MXU {flop / V5E_MXU_TFLOPS * 1e3:6.2f}  "
+              f"HBM {byts / V5E_HBM_BPS * 1e3:6.2f}  "
+              f"VPU {vops / V5E_VPU_OPS * 1e3:6.2f} ms | "
+              f"MFU {flop / t / V5E_MXU_TFLOPS * 100:5.1f}%")
+
+    print(f"device: {jax.devices()[0].platform}, shapes B={B} N={N} H={H} "
+          f"heads={HEADS} (INNER={INNER})")
+    report("block", t_full, flop_block, bytes_attn + bytes_mlp, vpu_attn + vpu_mlp)
+    report("attn", t_attn, flop_attn, bytes_attn, vpu_attn)
+    report("mlp", t_mlp, flop_mlp, bytes_mlp, vpu_mlp)
+
+
+if __name__ == "__main__":
+    main()

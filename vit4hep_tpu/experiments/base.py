@@ -272,8 +272,23 @@ class BaseExperiment:
         )
         payload = _torch.load(path, map_location="cpu", weights_only=False)
         model_sd = tm.strip_state_dict_prefixes(payload["model"])
-        kind = tm.net_kind_from_target(str(self.cfg.model.net._target_))
-        if kind == "energy":
+        if "CINN" in str(self.cfg.model.get("_target_", "")):
+            kind = "cinn"
+        else:
+            kind = tm.net_kind_from_target(str(self.cfg.model.net._target_))
+        if kind == "cinn":
+            # FrEIA GraphINN run dir: convert the coupling subnets and inject
+            # the checkpoint's permutation indices, then rebuild the model so
+            # the flow is the trained one; re-snapshot the config so later
+            # orbax resumes reconstruct the same permutations
+            coupling = str(self.cfg.model.coupling_block)
+            converted, perms = tm.convert_cinn_state_dict(model_sd, coupling)
+            variables = {"params": converted}
+            self.cfg.model.permutations = perms
+            self.model = instantiate(self.cfg.model)
+            self._save_config("config.yaml", to_tracker=False)
+            self._save_config(f"config_{self.cfg.run_idx}.yaml")
+        elif kind == "energy":
             variables, config_patch = tm.convert_energy_state_dict(model_sd)
             # the frozen Gaussian-Fourier time weights are static config here;
             # rebuild the net so its time features match the trained network,
@@ -291,7 +306,11 @@ class BaseExperiment:
         ema_params = state.ema_params
         ema_updates = state.ema_updates
         if self.use_ema and payload.get("ema") is not None:
-            ema_vars = tm.convert_ema_state_dict(payload["ema"], model_sd, kind)
+            ema_vars = tm.convert_ema_state_dict(
+                payload["ema"], model_sd, kind,
+                coupling_block=str(self.cfg.model.coupling_block)
+                if kind == "cinn" else None,
+            )
             ema_params = jax.tree.map(
                 lambda t, r: jnp.asarray(r, t.dtype), state.ema_params, ema_vars
             )

@@ -60,15 +60,26 @@ class Permute(nn.Module):
     """Fixed random permutation along ``axis`` (1 = token/channel, 2 = feature).
 
     The permutation is derived deterministically from ``seed`` so that
-    checkpoints reload identically.
+    checkpoints reload identically. ``indices`` overrides the seed-derived
+    permutation — used when migrating reference FrEIA checkpoints, whose
+    ``PermuteRandom`` blocks store their indices as (non-trainable)
+    parameters (reference nn/inn/permute.py:31-32).
     """
 
     size: int
     axis: int = 1
     seed: int = 0
+    indices: tuple | None = None
 
     def setup(self):
-        perm = np.random.default_rng(self.seed).permutation(self.size)
+        if self.indices is not None:
+            perm = np.asarray(self.indices, np.int64)
+            if sorted(perm.tolist()) != list(range(self.size)):
+                raise ValueError(
+                    f"explicit permutation is not a permutation of 0..{self.size - 1}"
+                )
+        else:
+            perm = np.random.default_rng(self.seed).permutation(self.size)
         inv = np.argsort(perm)
         self.perm = jnp.asarray(perm)
         self.perm_inv = jnp.asarray(inv)

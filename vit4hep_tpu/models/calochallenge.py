@@ -128,16 +128,26 @@ class CaloChallengeCFM_DS1(CaloChallengeCFM):
 # ---------------------------------------------------------------------------
 # cINN models (reference experiments/calochallenge/calochallenge_cinn/model.py)
 # ---------------------------------------------------------------------------
-def _build_flow(coupling_block, nblocks, block_ctor, permute_sizes_axes, seed=0):
+def _build_flow(coupling_block, nblocks, block_ctor, permute_sizes_axes, seed=0,
+                permutations=None):
     """Assemble [coupling, permute] x nblocks into a FlowChain (the GraphINN
-    replacement; reference model.py:100-127 + freia_utils.py:31-43)."""
+    replacement; reference model.py:100-127 + freia_utils.py:31-43).
+
+    ``permutations`` (list of per-block index lists) overrides the
+    seed-derived permutations — set by the torch-checkpoint migration so a
+    reference run dir reproduces its exact flow."""
     from vit4hep_tpu.models.bijectors import FlowChain, Permute
 
+    if permutations is not None and len(permutations) != nblocks:
+        raise ValueError(
+            f"{len(permutations)} explicit permutations for {nblocks} blocks"
+        )
     blocks = []
     for i in range(nblocks):
         blocks.append(block_ctor(i))
         size, axis = permute_sizes_axes[i]
-        blocks.append(Permute(size=size, axis=axis, seed=seed + i))
+        idx = tuple(int(j) for j in permutations[i]) if permutations is not None else None
+        blocks.append(Permute(size=size, axis=axis, seed=seed + i, indices=idx))
     return FlowChain(blocks=tuple(blocks))
 
 
@@ -158,6 +168,7 @@ class CaloChallengeCINN(CINN):
         is_spatial,
         cinn_kwargs,
         vit_kwargs,
+        permutations=None,
         **kwargs,
     ):
         super().__init__(shape, **kwargs)
@@ -218,7 +229,8 @@ class CaloChallengeCINN(CINN):
             ((P, 2) if (is_spatial is not None and is_spatial[i]) else (T, 1))
             for i in range(int(nblocks))
         ]
-        self.net = _build_flow(coupling_block, int(nblocks), block_ctor, permutes)
+        self.net = _build_flow(coupling_block, int(nblocks), block_ctor, permutes,
+                               permutations=permutations)
 
     def x_shape(self, batch_size):
         return (batch_size, self.in_channels, *self.shape)
@@ -233,7 +245,8 @@ class CaloChallengeCINN(CINN):
 class CaloChallengeEnergyCINN(CINN):
     """Energy cINN over the flat u-vector (reference model.py:136-205)."""
 
-    def __init__(self, shape, coupling_block, nblocks, cinn_kwargs, subnet_kwargs, **kwargs):
+    def __init__(self, shape, coupling_block, nblocks, cinn_kwargs, subnet_kwargs,
+                 permutations=None, **kwargs):
         super().__init__(shape, **kwargs)
         from vit4hep_tpu.models.bijectors import SimpleRQSCouplingBlock
 
@@ -259,7 +272,8 @@ class CaloChallengeEnergyCINN(CINN):
             )
 
         permutes = [(d, 1)] * int(nblocks)
-        self.net = _build_flow(coupling_block, int(nblocks), block_ctor, permutes)
+        self.net = _build_flow(coupling_block, int(nblocks), block_ctor, permutes,
+                               permutations=permutations)
 
     def x_shape(self, batch_size):
         return (batch_size, *self.shape)

@@ -262,6 +262,98 @@ def convert_energy_state_dict(sd):
     return {"params": params}, config_patch
 
 
+# non-trainable leaves of a FrEIA GraphINN checkpoint: permutation indices
+# (nn/inn/permute.py:31-32) + BinnedSplineBase buffers (nn/inn/binned.py:194-201)
+_CINN_BUFFER_LEAVES = {
+    "perm", "perm_inv", "bins", "min_bin_sizes", "default_domain",
+    "identity_tails", "default_width",
+}
+
+
+def convert_cinn_state_dict(model_sd, coupling_block):
+    """Convert a FrEIA ``GraphINN`` state dict (the "model" section of a
+    reference cINN run dir, reference calochallenge_cinn/model.py:100-127) to
+    FlowChain Flax params + the per-block permutation index lists.
+
+    GraphINN registers one ``module_list.{i}`` entry per graph node with a
+    module; the exact indices depend on FrEIA's topological sort, so modules
+    are classified by content (a ``perm`` leaf marks a PermuteRandom) and
+    assigned to coupling/permute slots in index order — the graph is built
+    strictly [coupling, permute] x nblocks (model.py:104-123).
+
+    Returns ``(params, permutations)`` where ``params`` maps ``blocks_{2k}``
+    (FlowChain's coupling submodule names; permutes are parameterless here)
+    and ``permutations`` is a list of index lists for
+    ``CaloChallengeCINN(permutations=...)``.
+    """
+    import re
+
+    groups = {}
+    for k, v in model_sd.items():
+        m = re.match(r"module_list\.(\d+)\.(.+)", k)
+        if not m:
+            raise ValueError(f"unexpected non-GraphINN key '{k}' in cINN checkpoint")
+        groups.setdefault(int(m.group(1)), {})[m.group(2)] = v
+
+    permutations, couplings = [], []
+    for idx in sorted(groups):
+        g = groups[idx]
+        if "perm" in g:
+            permutations.append([int(x) for x in _to_np(g["perm"])])
+        else:
+            couplings.append(g)
+    if len(couplings) != len(permutations):
+        raise ValueError(
+            f"cINN checkpoint has {len(couplings)} coupling blocks but "
+            f"{len(permutations)} permutations — not a [coupling, permute] graph"
+        )
+
+    params = {
+        f"blocks_{2 * k}": _convert_cinn_coupling(g, coupling_block)
+        for k, g in enumerate(couplings)
+    }
+    return params, permutations
+
+
+# subnet locations inside each reference coupling-block type -> our FlowChain
+# submodule names (prefixes verified by the block-level parity tests,
+# tests/test_reference_parity.py)
+_CINN_SUBNET_PREFIXES = {
+    "CaloRQSplineFrEIA": (("subnet1", "subnet1.vit."), ("subnet2", "subnet2.vit.")),
+    "CaloRQSplineNFlows": (
+        ("subnet1", "_spline1.subnet.vit."), ("subnet2", "_spline2.subnet.vit.")),
+    "OneSidedCaloRQSplineNFlows": (("subnet1", "_spline.subnet.vit."),),
+}
+
+
+def _convert_cinn_coupling(g, coupling_block):
+    if coupling_block == "RQSplineNFlows":
+        # energy cINN: SubnetMLP under _spline{1,2}.subnet.mlp.{seq idx}
+        out = {}
+        for ours, theirs in (("subnet1", "_spline1.subnet.mlp."),
+                             ("subnet2", "_spline2.subnet.mlp.")):
+            sub = {k[len(theirs):]: v for k, v in g.items() if k.startswith(theirs)}
+            linear_idx = sorted({int(k.split(".")[0]) for k in sub})
+            out[ours] = {
+                f"Dense_{j}": _linear(sub, str(i))
+                for j, i in enumerate(linear_idx)
+            }
+        return out
+    try:
+        prefix_map = _CINN_SUBNET_PREFIXES[coupling_block]
+    except KeyError:
+        raise ValueError(
+            f"no cINN checkpoint converter for coupling block '{coupling_block}'"
+        ) from None
+    out = {}
+    for ours, theirs in prefix_map:
+        sub = strip_state_dict_prefixes(
+            {k: v for k, v in g.items() if k.startswith(theirs)}, prefixes=(theirs,)
+        )
+        out[ours] = convert_vit_state_dict(sub, vit1d=True)["params"]
+    return out
+
+
 def maybe_convert_net_checkpoint(model_cfg, model_path):
     """Torch fallback for net-weight loading (the two-stage samplers'
     ``load_energy_model``): when ``model_path`` (an orbax dir) is absent but
@@ -335,6 +427,8 @@ def _trainable_param_names(model_sd, kind):
         leaf = k.split(".")[-1]
         if leaf in _BUFFER_KEYS or k in _BUFFER_KEYS:
             continue  # buffers + attn_mask (requires_grad=False)
+        if kind == "cinn" and leaf in _CINN_BUFFER_LEAVES:
+            continue  # permutation indices + spline-base buffers
         if kind == "energy":
             if k == "time_embed.0.W":  # frozen GaussianFourier weights
                 continue
@@ -344,12 +438,13 @@ def _trainable_param_names(model_sd, kind):
     return names
 
 
-def convert_ema_state_dict(ema_sd, model_sd, kind):
+def convert_ema_state_dict(ema_sd, model_sd, kind, coupling_block=None):
     """Convert a torch_ema ``ExponentialMovingAverage.state_dict()`` to Flax
     variables by pairing ``shadow_params`` (ordered over trainable parameters)
     with the model state dict's parameter names, then reusing the per-net
     converter. ``model_sd`` must be the prefix-stripped model state dict from
-    the same checkpoint; ``kind`` is :func:`net_kind_from_target`'s output.
+    the same checkpoint; ``kind`` is :func:`net_kind_from_target`'s output
+    (or ``"cinn"`` with ``coupling_block`` set for GraphINN checkpoints).
     """
     shadows = ema_sd["shadow_params"]
     names = _trainable_param_names(model_sd, kind)
@@ -363,6 +458,14 @@ def convert_ema_state_dict(ema_sd, model_sd, kind):
         if tuple(_to_np(tensor).shape) != tuple(_to_np(model_sd[name]).shape):
             raise ValueError(f"EMA shadow shape mismatch at {name}")
         shadow_sd[name] = tensor
+    if kind == "cinn":
+        # permutation indices are structural (not EMA'd); reinstate them so
+        # the GraphINN converter sees a complete [coupling, permute] graph
+        for name, tensor in model_sd.items():
+            if name.split(".")[-1] in ("perm", "perm_inv"):
+                shadow_sd[name] = tensor
+        params, _ = convert_cinn_state_dict(shadow_sd, coupling_block)
+        return {"params": params}
     if kind == "energy":
         # the head's first Linear is registered as `layer` (its position in
         # parameters() order) but the converter maps it via its `layers.0`
