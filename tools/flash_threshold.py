@@ -19,8 +19,23 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-INNER = 10
+INNER = 40  # large enough that the ~28 ms/dispatch tunnel floor is < 2%
 BATCH_TOKENS = 256 * 450  # constant total work ~ the ds3 sampler's
+
+_DISPATCH_FLOOR = [0.0]
+
+
+def measure_dispatch_floor():
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    float(f(x))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    _DISPATCH_FLOOR[0] = min(ts)
+    return _DISPATCH_FLOOR[0]
 
 
 def bench(impl, b, h, n, d):
@@ -40,12 +55,14 @@ def bench(impl, b, h, n, d):
     float(jnp.sum(f(q, k, v)))  # compile + sync
     t0 = time.perf_counter()
     float(jnp.sum(f(q, k, v)))
-    return (time.perf_counter() - t0) / INNER
+    return max(0.0, time.perf_counter() - t0 - _DISPATCH_FLOOR[0]) / INNER
 
 
 def main():
     float(jnp.zeros(()))  # tunnel warm-up fetch
-    print(f"device: {jax.devices()[0].platform} (INNER={INNER})")
+    floor = measure_dispatch_floor()
+    print(f"device: {jax.devices()[0].platform} (INNER={INNER}, "
+          f"dispatch floor {floor * 1e3:.1f} ms subtracted)")
     heads = 6
     for d in (80, 128):
         for n in (512, 1024, 2048):

@@ -26,11 +26,14 @@ import jax.numpy as jnp
 
 B, N, H, HEADS, MLP = 256, 450, 480, 6, 4
 D = H // HEADS
-INNER = 10
+INNER = 40  # large enough that the ~28 ms/dispatch tunnel floor is < 2%
 
 V5E_MXU_TFLOPS = 197e12
 V5E_VPU_OPS = 6.16e12  # 8x128 lanes x 4 ALUs x 1.50 GHz
 V5E_HBM_BPS = 819e9
+
+
+_DISPATCH_FLOOR = [0.0]
 
 
 def timed(fn, *args):
@@ -41,7 +44,22 @@ def timed(fn, *args):
     t0 = time.perf_counter()
     out = jax.jit(fn)(*args)
     float(jnp.sum(out[0]) if isinstance(out, tuple) else jnp.sum(out))
-    return (time.perf_counter() - t0) / INNER
+    return max(0.0, time.perf_counter() - t0 - _DISPATCH_FLOOR[0]) / INNER
+
+
+def measure_dispatch_floor():
+    """Wall time of one near-empty jitted program + scalar fetch — the
+    per-dispatch tunnel overhead to subtract from every measurement."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    float(f(x))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    _DISPATCH_FLOOR[0] = min(ts)
+    return _DISPATCH_FLOOR[0]
 
 
 def main():
@@ -89,8 +107,45 @@ def main():
         h, _ = jax.lax.scan(body, x, None, length=INNER)
         return h
 
+    # ---- micro components: attribute the block time empirically ----
+    kv = jax.random.fold_in(key, 6)
+    s0 = jax.random.normal(kv, (B, HEADS, N, N), jnp.float32)
+    u0 = jax.random.normal(jax.random.fold_in(key, 7), (B, N, MLP * H), jnp.float32)
+    q0 = jax.random.normal(jax.random.fold_in(key, 8), (B, HEADS, N, D), jnp.float32)
+    k0 = jax.random.normal(jax.random.fold_in(key, 9), (B, HEADS, N, D), jnp.float32)
+    v0 = jax.random.normal(jax.random.fold_in(key, 10), (B, HEADS, N, D), jnp.float32)
+
+    def scan_of(body):
+        def prog(cin):
+            out, _ = jax.lax.scan(lambda h, _: (body(h), None), cin, None,
+                                  length=INNER)
+            return out
+        return prog
+
+    softmax_only = scan_of(lambda s: jax.nn.softmax(s, axis=-1))
+    exp_only = scan_of(lambda s: jnp.exp(-jnp.abs(s)))
+    gelu_only = scan_of(lambda u: jax.nn.gelu(u, approximate=True))
+
+    # k/v must be jit ARGUMENTS, not closure captures — captured device
+    # arrays are embedded as constants in the serialized module and a
+    # 220 MB constant blows the tunnel's remote-compile request limit
+    def attn_matmuls(q, k, v):
+        def body(qc, _):
+            s = jnp.einsum("bhqd,bhkd->bhqk", qc, k)
+            return jnp.einsum("bhqk,bhkd->bhqd", s, v), None
+        out, _ = jax.lax.scan(body, q, None, length=INNER)
+        return out
+
+    def mlp_nogelu(h):
+        def body(hc, _):
+            return (hc @ w1) @ w2, None
+        out, _ = jax.lax.scan(body, h, None, length=INNER)
+        return out
+
     # warm-up fetch for tunnel backlog
     float(jnp.zeros(()))
+    floor = measure_dispatch_floor()
+    print(f"dispatch floor: {floor * 1e3:.1f} ms (subtracted)")
 
     t_full = timed(full_stack, x, c)
     t_attn = timed(attn_only, x)
@@ -117,6 +172,22 @@ def main():
     report("block", t_full, flop_block, bytes_attn + bytes_mlp, vpu_attn + vpu_mlp)
     report("attn", t_attn, flop_attn, bytes_attn, vpu_attn)
     report("mlp", t_mlp, flop_mlp, bytes_mlp, vpu_mlp)
+
+    n_score = B * HEADS * N * N       # 311M at ds3
+    n_mlpact = B * N * MLP * H        # 221M at ds3
+    flop_am = 2 * (2 * N * N * H) * B
+    micro = [
+        ("attn_mm", attn_matmuls, (q0, k0, v0), flop_am,
+         (2 * B * HEADS * N * N + 3 * B * N * H) * f32, 0),
+        ("softmax", softmax_only, s0, 0, 2 * n_score * f32, n_score * 6),
+        ("exp", exp_only, s0, 0, 2 * n_score * f32, n_score * 2),
+        ("gelu", gelu_only, u0, 0, 2 * n_mlpact * f32, n_mlpact * 10),
+        ("mlp_mm", mlp_nogelu, x, flop_mlp, bytes_mlp, 0),
+    ]
+    print("-- micro components (each its own fused program) --")
+    for name, fn, arg, flop, byts, vops in micro:
+        args = arg if isinstance(arg, tuple) else (arg,)
+        report(name, timed(fn, *args), flop, byts, vops)
 
 
 if __name__ == "__main__":
