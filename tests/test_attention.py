@@ -124,3 +124,143 @@ def test_pad_attn_heads_is_equivalent():
     gb = jax.grad(lambda p: jnp.sum(net_b.apply(p, x, t, c) ** 2))(pa)
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# one-shot VMEM-resident kernel (ops/vmem_attention.py)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("n", [64, 135, 450])
+def test_vmem_matches_xla_forward(n):
+    from vit4hep_tpu.ops.vmem_attention import vmem_attention
+
+    rng = np.random.default_rng(10)
+    q, k, v = _rand_qkv(rng, 2, 3, n, 16)
+    out = vmem_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla_attention(q, k, v)),
+                               atol=2e-5)
+
+
+def test_vmem_matches_xla_with_layer_causal_mask():
+    from vit4hep_tpu.ops.vmem_attention import vmem_attention
+
+    rng = np.random.default_rng(11)
+    mask = jnp.asarray(layer_causal_mask((5, 4, 2)))  # 40 tokens
+    q, k, v = _rand_qkv(rng, 2, 2, 40, 8)
+    out = vmem_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(xla_attention(q, k, v, mask)), atol=2e-5)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_vmem_gradients_match_xla(use_mask):
+    from vit4hep_tpu.ops.vmem_attention import vmem_attention
+
+    rng = np.random.default_rng(12)
+    q, k, v = _rand_qkv(rng, 1, 2, 72, 8)
+    mask = jnp.asarray(layer_causal_mask((6, 4, 3))) if use_mask else None
+
+    g_vmem = jax.grad(lambda q, k, v: jnp.sum(vmem_attention(q, k, v, mask) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(lambda q, k, v: jnp.sum(xla_attention(q, k, v, mask) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_vmem, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=5e-4, err_msg=f"d{name} mismatch"
+        )
+
+
+def test_vmem_scale_override_and_jit():
+    from vit4hep_tpu.ops.vmem_attention import vmem_attention
+
+    rng = np.random.default_rng(13)
+    q, k, v = _rand_qkv(rng, 4, 6, 135, 16)
+    out = jax.jit(lambda q, k, v: vmem_attention(q, k, v, None, 16**-0.5))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(xla_attention(q, k, v)), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused-layout qkv kernel (ops/fused_qkv_attention.py) + model-facing dispatch
+# ---------------------------------------------------------------------------
+def _xla_from_qkv(qkv, h, mask=None, scale=None):
+    b, n, thd = qkv.shape
+    d = thd // 3 // h
+    qkv5 = qkv.reshape(b, n, 3, h, d)
+    q, k, v = (jnp.transpose(qkv5[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    out = xla_attention(q, k, v, mask, scale=scale)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, h * d)
+
+
+@pytest.mark.parametrize("n,h,d", [(64, 2, 16), (135, 6, 16), (450, 3, 16), (40, 5, 8)])
+def test_fused_qkv_matches_xla_forward(n, h, d):
+    from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
+
+    rng = np.random.default_rng(20)
+    qkv = jnp.asarray(rng.normal(size=(2, n, 3 * h * d)), jnp.float32)
+    out = fused_qkv_attention(qkv, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_xla_from_qkv(qkv, h)),
+                               atol=2e-5)
+
+
+def test_fused_qkv_matches_xla_with_layer_causal_mask():
+    from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
+
+    rng = np.random.default_rng(21)
+    mask = jnp.asarray(layer_causal_mask((5, 4, 2)))  # 40 tokens
+    qkv = jnp.asarray(rng.normal(size=(2, 40, 3 * 2 * 8)), jnp.float32)
+    out = fused_qkv_attention(qkv, 2, mask)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_xla_from_qkv(qkv, 2, mask)), atol=2e-5)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_fused_qkv_gradients_match_xla(use_mask):
+    from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
+
+    rng = np.random.default_rng(22)
+    qkv = jnp.asarray(rng.normal(size=(2, 72, 3 * 2 * 8)), jnp.float32)
+    mask = jnp.asarray(layer_causal_mask((6, 4, 3))) if use_mask else None
+
+    g_fused = jax.grad(lambda x: jnp.sum(fused_qkv_attention(x, 2, mask) ** 2))(qkv)
+    g_xla = jax.grad(lambda x: jnp.sum(_xla_from_qkv(x, 2, mask) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_xla), atol=5e-4)
+
+
+def test_fused_qkv_scale_override_and_jit():
+    from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
+
+    rng = np.random.default_rng(23)
+    qkv = jnp.asarray(rng.normal(size=(3, 135, 3 * 6 * 16)), jnp.float32)
+    out = jax.jit(lambda x: fused_qkv_attention(x, 6, None, 16**-0.5))(qkv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_xla_from_qkv(qkv, 6)),
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("impl", ["fused", "xla", "vmem"])
+def test_qkv_attention_dispatch_parity(impl):
+    from vit4hep_tpu.ops.attention import qkv_attention
+
+    rng = np.random.default_rng(24)
+    qkv = jnp.asarray(rng.normal(size=(2, 135, 3 * 4 * 8)), jnp.float32)
+    out = qkv_attention(qkv, 4, impl=impl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_xla_from_qkv(qkv, 4)),
+                               atol=2e-5)
+
+
+def test_attention_module_fused_matches_xla():
+    """The full flax Attention module agrees across impls (fwd + grads)."""
+    from vit4hep_tpu.models.vit import Attention
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 135, 48))
+    net_x = Attention(hidden=48, num_heads=3, attn_impl="xla")
+    net_f = Attention(hidden=48, num_heads=3, attn_impl="fused")
+    params = net_x.init(key, x)
+    np.testing.assert_allclose(
+        np.asarray(net_f.apply(params, x)), np.asarray(net_x.apply(params, x)),
+        atol=2e-5,
+    )
+    gx = jax.grad(lambda p: jnp.sum(net_x.apply(p, x) ** 2))(params)
+    gf = jax.grad(lambda p: jnp.sum(net_f.apply(p, x) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

@@ -1,0 +1,90 @@
+"""ds3 train-step throughput: attn_impl auto (vmem fwd + flash bwd) vs xla.
+
+The `auto` dispatch (ops/attention.py) routes N=450 through the one-shot
+VMEM kernel, whose custom VJP reuses the FlashAttention-2 backward kernels.
+The flash *forward* lost to XLA at ds3 shapes in round 1, so the backward
+needs its own measurement before `auto` can be trusted in training. This
+times `inner` full donated train steps scanned inside one jitted program
+(bench.py's bench_train pattern) for each impl.
+
+Run: python tools/train_attn_bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_train(yaml_rel: str, shape, attn_impl: str, batch=16, inner=10,
+                n_iters=3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from vit4hep_tpu.experiments import train_state as ts
+    from vit4hep_tpu.utils.config import _load_yaml, instantiate
+
+    cfg = _load_yaml(os.path.join(_REPO, "configs", yaml_rel))
+    cfg["net"]["param"]["attn_impl"] = attn_impl
+    model = instantiate(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    class TCfg(dict):
+        __getattr__ = dict.get
+        lr = 1e-3
+        iterations = 1000
+
+    tx = ts.make_optimizer(TCfg())
+    state = ts.create_train_state(params, tx, use_ema=True)
+    step = ts.make_train_step(
+        lambda p, x, c, rng: model.batch_loss(p, x, c, rng),
+        tx, clip_grad_value=None, clip_grad_norm=1.0, max_grad_norm=50.0,
+        ema_decay=0.9999,
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(batch,) + tuple(shape)).astype(np.float32))
+    c = jnp.asarray(np.random.default_rng(1).normal(
+        size=(batch, 46)).astype(np.float32))
+
+    @jax.jit
+    def run(state, key):
+        def body(carry, i):
+            s, _ = step(carry, (x, c), jax.random.fold_in(key, i))
+            return s, None
+        state, _ = jax.lax.scan(body, state, jnp.arange(inner))
+        return state
+
+    state = run(state, jax.random.PRNGKey(1))
+    float(jnp.sum(jax.tree.leaves(state.params)[0]))  # sync
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state = run(state, jax.random.PRNGKey(2 + i))
+    float(jnp.sum(jax.tree.leaves(state.params)[0]))
+    dt = time.perf_counter() - t0
+    return inner * n_iters / dt
+
+
+def main():
+    import jax.numpy as jnp
+
+    float(jnp.zeros(()))  # tunnel warm-up fetch
+    workloads = [
+        ("ds2", "model/cfm/cfm_ds2_electrons.yaml", (1, 45, 16, 9), 64),
+        ("ds3", "model/cfm/cfm_ds3_electrons.yaml", (1, 45, 50, 18), 16),
+    ]
+    for name, yaml_rel, shape, batch in workloads:
+        for impl in ("xla", "auto"):
+            rate = bench_train(yaml_rel, shape, impl, batch=batch)
+            print(f"{name} train (batch {batch}) attn_impl={impl:5s}: "
+                  f"{rate:6.2f} it/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vit4hep_tpu.ops import pos_embed as pe_ops
-from vit4hep_tpu.ops.attention import dot_product_attention
+from vit4hep_tpu.ops.attention import qkv_attention
 
 xavier = nn.initializers.xavier_uniform()
 zeros = nn.initializers.zeros
@@ -217,12 +217,15 @@ class Attention(nn.Module):
                 dtype=self.dtype,
             )(x)
             qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))  # (B,H,N,D)
-        # the logit scale stays 1/sqrt(true head_dim) even when D is padded
-        out = dot_product_attention(
-            q, k, v, mask=mask, impl=self.attn_impl, scale=float(head_dim) ** -0.5
+        # the qkv tensor stays in the Dense output's native (B, N, 3*H*D)
+        # layout all the way into the attention kernel — the separated
+        # (B, H, N, D) transposes cost ~4.5 ms/block-eval of materialized
+        # copies at ds3 around a pallas_call (BASELINE.md round 2). The
+        # logit scale stays 1/sqrt(true head_dim) even when D is padded.
+        out = qkv_attention(
+            qkv.reshape(b, n, -1), self.num_heads, mask=mask,
+            impl=self.attn_impl, scale=float(head_dim) ** -0.5,
         )
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, -1)
         if pad:
             ok, ob = _DenseParams(self.hidden, self.hidden, name="Dense_1")()
             okp = jnp.pad(

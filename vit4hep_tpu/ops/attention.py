@@ -1,20 +1,35 @@
-"""Multi-head attention dispatch: fused Pallas flash-attention or plain XLA.
+"""Multi-head attention dispatch: Pallas kernels or plain XLA.
 
 This replaces the reference's two native attention backends — torch SDPA
 (nn/vit.py:431-438) and xformers ``memory_efficient_attention`` (nn/vit.py:
-440-449) — with TPU-native equivalents:
+440-449) — with TPU-native equivalents at two API levels:
 
+``qkv_attention`` — the model-facing entry: takes the qkv projection output
+in its native (B, N, 3*H*D) layout and returns the merged (B, N, H*D)
+context. Its ``auto`` mode routes 128–1024 tokens to the fused-layout
+kernel (ops/fused_qkv_attention.py), which measured 1.9x faster than XLA at
+ds3 and 1.5x at ds2 in the full Attention-module context — a ``pallas_call``
+is a fusion barrier, so kernels that consume separated (B, H, N, D) tensors
+pay materialized transposes in-model and LOSE end-to-end even when they win
+on isolated inputs (BASELINE.md round 2).
+
+``dot_product_attention`` — the separated-input entry for callers that
+already hold q, k, v as (B, H, N, D) (ring attention chunks, parity tests):
+
+- ``impl="vmem"``: one-shot VMEM-resident Pallas kernel
+  (vit4hep_tpu/ops/vmem_attention.py) — fastest from ~300 to 1024 tokens
+  on ISOLATED inputs (no layout boundary to pay).
 - ``impl="flash"``: block-wise online-softmax Pallas kernel
-  (vit4hep_tpu/ops/flash_attention.py), mask-capable, with a custom VJP.
-- ``impl="xla"``: einsum attention; at the shipped sequence lengths (88-606
-  tokens) XLA fuses this well and it serves as the reference implementation
-  for kernel tests.
-- ``impl="auto"``: picks flash when the shape is worth it, else XLA.
+  (vit4hep_tpu/ops/flash_attention.py), mask-capable, with a custom VJP;
+  fastest above 1024 tokens.
+- ``impl="xla"``: einsum attention; fastest below ~280 tokens and the
+  reference implementation for kernel tests.
+- ``impl="auto"``: picks the measured-fastest impl by sequence length
+  (thresholds measured on v5e, tools/attn_bench.py).
 
-All impls take q, k, v of shape (B, H, N, D) and an optional boolean mask,
-True = attend: (N, N) everywhere; (B, H, N, N) additionally on the XLA path
-(``auto`` routes batched/per-head masks to XLA — flash supports only a shared
-(N, N) mask).
+Optional boolean mask, True = attend: shared (N, N) everywhere; (B, H, N, N)
+additionally on the XLA path (``auto`` routes batched/per-head masks to XLA —
+the Pallas kernels support only a shared (N, N) mask).
 """
 
 from __future__ import annotations
@@ -46,20 +61,67 @@ def dot_product_attention(q, k, v, mask=None, impl="auto", scale=None):
     ``scale`` overrides the default 1/sqrt(D) logit scale (used when D is
     zero-padded to the lane width and the true head dim is smaller)."""
     if impl == "auto":
-        # measured on v5e: XLA's fused attention wins at every shipped sequence
-        # length (ds2 135: 181 vs 137 showers/s; ds3 450: 38.7 vs 24.8) — the
-        # flash kernel pays lane padding at head_dim 80 and loop overhead.
-        # flash only becomes necessary when the (N, N) score tensor itself is
-        # prohibitive, i.e. very long sequences (unpatched grids).
-        # the flash kernel only supports a shared (N, N) mask — batched /
-        # per-head masks must take the XLA path
+        # measured on v5e (BASELINE.md round 2, tools/attn_bench.py): XLA's
+        # fused attention wins below ~280 tokens (N=135: 1.07 vs 1.20 ms;
+        # N=256: 2.36 vs 2.45); the one-shot VMEM-resident kernel wins from
+        # ~320 tokens (2.95 vs 4.38 ms; ds3 450: 4.07 vs 7.32; N=1024: 0.39
+        # vs 1.69) because it never materializes the (N, N) scores in HBM.
+        # Above 1024 the score block outgrows a comfortable VMEM footprint
+        # and the online-softmax flash kernel takes over (N=2048: 1.84 vs
+        # 3.45 ms XLA). Both Pallas kernels only support a shared (N, N)
+        # mask — batched / per-head masks take the XLA path.
         n = q.shape[-2]
-        flash_ok = mask is None or mask.ndim == 2
-        impl = "flash" if (n >= 1024 and flash_ok) else "xla"
+        kernel_ok = mask is None or mask.ndim == 2
+        if kernel_ok and 288 <= n <= 1024:
+            impl = "vmem"
+        elif kernel_ok and n > 1024:
+            impl = "flash"
+        else:
+            impl = "xla"
     if impl == "xla":
         return xla_attention(q, k, v, mask, scale=scale)
     if impl == "flash":
         from vit4hep_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, mask, 256, 256, scale)
+    if impl == "vmem":
+        from vit4hep_tpu.ops.vmem_attention import vmem_attention
+
+        return vmem_attention(q, k, v, mask, scale)
     raise ValueError(f"Unknown attention impl '{impl}'")
+
+
+def qkv_attention(qkv, num_heads, mask=None, impl="auto", scale=None):
+    """Attention from the qkv projection's native (B, N, 3*H*D) layout.
+
+    Returns the merged (B, N, H*D) context, ready for the out-projection.
+    ``auto`` picks the measured-fastest path by sequence length (v5e, full
+    Attention-module context, tools/attn_bench.py): XLA below 128 tokens
+    (fused 1.09 vs 0.62 ms at N=88), the fused-layout kernel from 128 to
+    1024 (1.20 vs 1.85 ms at ds2 N=135; 5.02 vs 9.57 at ds3 N=450), and the
+    flash kernel above (the (N, 3HD) panel outgrows VMEM)."""
+    n = qkv.shape[-2]
+    if impl == "auto":
+        kernel_ok = mask is None or mask.ndim == 2
+        # measured fused wins through N=2048 (1.17 vs 1.70 ms); beyond that
+        # the panel + score working set must still fit the 128M VMEM budget
+        # (ops/fused_qkv_attention.py) or Mosaic refuses to compile
+        hd = qkv.shape[-1] // 3
+        fused_fits = 16 * n * hd + 20 * n * n <= 120 * 1024 * 1024
+        if kernel_ok and n >= 128 and fused_fits:
+            impl = "fused"
+        elif kernel_ok and n >= 128:
+            impl = "flash"
+        else:
+            impl = "xla"
+    if impl == "fused":
+        from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
+
+        return fused_qkv_attention(qkv, num_heads, mask, scale)
+    # separated-tensor fallbacks: split + transpose around dot_product_attention
+    b, _, three_hd = qkv.shape
+    d = three_hd // 3 // num_heads
+    qkv5 = qkv.reshape(b, n, 3, num_heads, d)
+    q, k, v = (jnp.transpose(qkv5[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    out = dot_product_attention(q, k, v, mask=mask, impl=impl, scale=scale)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, num_heads * d)
