@@ -264,3 +264,95 @@ def test_attention_module_fused_matches_xla():
     gf = jax.grad(lambda p: jnp.sum(net_f.apply(p, x) ** 2))(params)
     for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# full-block megakernel (ops/fused_dit_block.py)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_fused_dit_block_matches_composed(use_mask):
+    """fused_block runs the whole DiT block as one kernel: identical param
+    tree, elementwise-identical forward (interpret mode is f32), grads to
+    float tolerance."""
+    from vit4hep_tpu.models.vit import DiTBlock
+
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (2, 40, 48))
+    c = jax.random.normal(jax.random.fold_in(key, 1), (2, 48))
+    mask = jnp.asarray(layer_causal_mask((5, 4, 2))) if use_mask else None
+
+    ref = DiTBlock(hidden=48, num_heads=3)
+    fus = DiTBlock(hidden=48, num_heads=3, fused_block=True)
+    params = ref.init(key, x, c, mask)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        fus.init(key, x, c, mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fus.apply(params, x, c, mask)),
+        np.asarray(ref.apply(params, x, c, mask)), atol=1e-5,
+    )
+    gr = jax.grad(lambda p: jnp.sum(ref.apply(p, x, c, mask) ** 2))(params)
+    gf = jax.grad(lambda p: jnp.sum(fus.apply(p, x, c, mask) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_fused_dit_block_in_vit_and_jit():
+    """The flag threads through ViT; jitted fused forward equals unfused."""
+    from vit4hep_tpu.models.vit import ViT
+
+    param = dict(
+        dim=3, condition_dim=7, hidden_dim=96, out_channels=1, depth=2,
+        num_heads=2, mlp_ratio=2, learn_pos_embed=True, causal_attn=False,
+        num_patches=[[3, 2, 2]], patch_dim=6,
+    )
+    net_a = ViT(dict(param))
+    net_b = ViT(dict(param, fused_block=True))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (3, 12, 6))
+    t = jax.random.uniform(jax.random.fold_in(key, 1), (3,))
+    c = jax.random.normal(jax.random.fold_in(key, 2), (3, 7))
+    p = net_a.init(jax.random.PRNGKey(7), x, t, c)
+    out_a = net_a.apply(p, x, t, c)
+    out_b = jax.jit(net_b.apply)(p, x, t, c)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a), atol=1e-5)
+
+
+def test_fused_block_sample_mode():
+    """`fused_block: sample` routes only sample_batch through the megakernel:
+    training loss/grads are bitwise the composed path, sampling matches it."""
+    from vit4hep_tpu.models.calochallenge import CaloChallengeCFM
+    from vit4hep_tpu.models.vit import ViT
+
+    def build(fused):
+        param = dict(
+            dim=3, condition_dim=5, hidden_dim=96, out_channels=1, depth=2,
+            num_heads=2, mlp_ratio=2, learn_pos_embed=True, causal_attn=False,
+            num_patches=[[3, 2, 1]], patch_dim=6, fused_block=fused,
+        )
+        return CaloChallengeCFM(
+            net=ViT(param), in_channels=1, shape=[3, 4, 3],
+            patch_shape=[1, 2, 3],
+            odeint_kwargs={"method": "rk4", "options": {"step_size": 0.5}},
+        )
+
+    m_ref = build(False)
+    m_smp = build("sample")
+    assert m_smp.sample_net.cfg.fused_block is True
+    assert m_smp.net.cfg.fused_block == "sample"
+
+    key = jax.random.PRNGKey(0)
+    params = m_ref.init_params(key)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (4, 1, 3, 4, 3))
+    c = jax.random.normal(jax.random.fold_in(key, 2), (4, 5))
+
+    # training path: bitwise identical (same composed program)
+    g_ref = jax.grad(lambda p: m_ref.batch_loss(p, x, c, key))(params)
+    g_smp = jax.grad(lambda p: m_smp.batch_loss(p, x, c, key))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_smp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # sampling path: megakernel (interpret mode is f32 => tight)
+    s_ref = m_ref.sample_batch(params, c, jax.random.fold_in(key, 3))
+    s_smp = m_smp.sample_batch(params, c, jax.random.fold_in(key, 3))
+    np.testing.assert_allclose(np.asarray(s_smp), np.asarray(s_ref), atol=1e-4)

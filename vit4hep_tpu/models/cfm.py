@@ -42,6 +42,18 @@ class CFM:
 
     # -- static structure ------------------------------------------------------
     @property
+    def sample_net(self):
+        """Forward-only twin for the sampling ODE: identical param tree, with
+        the DiT-block megakernel enabled when the config says
+        `fused_block: sample` (models/vit.py:sampling_variant) — training
+        keeps the composed path whose backward is faster. A property (not
+        set in __init__) because patching subclasses rebuild ``self.net``
+        with per-section grids after construction."""
+        from vit4hep_tpu.models.vit import sampling_variant
+
+        return sampling_variant(self.net)
+
+    @property
     def condition_dim(self) -> int:
         cfg = self.net.cfg
         # fine-tuned nets prepend a c_mapper taking the TARGET condition width
@@ -104,7 +116,8 @@ class CFM:
 
             def f(t, x_t):
                 t_b = jnp.full((x_t.shape[0], 1), t, dtype=x_t.dtype)
-                return self.forward(params, x_t, t_b, c)
+                z = self.sample_net.apply(params, *self._net_args(x_t, t_b, c))
+                return self._net_out(z, x_t.shape)
 
             return odeint(f, x_T, t0=0.0, t1=1.0, **self.ode_kwargs)
 
@@ -112,7 +125,7 @@ class CFM:
 
         def f(t, tokens):
             t_b = jnp.full((tokens.shape[0], 1), t, tokens.dtype)
-            return self.net.apply(params, tokens, t_b, c)
+            return self.sample_net.apply(params, tokens, t_b, c)
 
         tokens = odeint(f, x_T, t0=0.0, t1=1.0, **self.ode_kwargs)
         return self.from_patches(tokens)

@@ -69,6 +69,16 @@ class ViTParams:
     # the fused Pallas adaLN-MLP path (checkpoint-compatible either way)
     attn_impl: str = "auto"
     fused_mlp: bool = False
+    # TPU-specific: run each whole DiT block as ONE Pallas kernel (LN +
+    # adaLN + qkv/out Dense + attention + MLP + residuals all VMEM-resident,
+    # ops/fused_dit_block.py) — checkpoint-compatible param tree; falls back
+    # to the composed path when pad_attn_heads is set or the mask is not a
+    # shared (N, N). "sample" (the shipped default for CFM ViTs) applies the
+    # megakernel to the SAMPLING path only: its backward pays a recomputed
+    # forward, which measured slower than the composed train step (58.3 vs
+    # 69.0 it/s ds2), while sampling gains +39-67% (BASELINE.md round 2) —
+    # CFM models build a sampling-net variant via `sampling_variant()`.
+    fused_block: bool | str = False
     # TPU-specific: zero-pad head_dim up to the 128-lane tile inside the QKV /
     # out-projection kernels (bit-exact: padded q/k dims contribute 0 to the
     # logits, padded v columns are dropped by zero rows of the out kernel).
@@ -235,14 +245,49 @@ class Attention(nn.Module):
         return nn.Dense(self.hidden, kernel_init=xavier, bias_init=zeros, dtype=self.dtype)(out)
 
 
+class _AttnParams(nn.Module):
+    """Parameter-only stand-in for the Attention module's Dense pair (same
+    param tree: Dense_0 qkv, Dense_1 out), used by the fused-block path."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DenseParams(self.hidden, 3 * self.hidden, name="Dense_0")()
+        wo, bo = _DenseParams(self.hidden, self.hidden, name="Dense_1")()
+        return wq, bq, wo, bo
+
+
+class _MlpParams(nn.Module):
+    """Parameter-only stand-in for MlpBlock (Dense_0/Dense_1)."""
+
+    in_dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.in_dim, self.hidden, name="Dense_0")()
+        w2, b2 = _DenseParams(self.hidden, self.in_dim, name="Dense_1")()
+        return w1, b1, w2, b2
+
+
 class DiTBlock(nn.Module):
-    """adaLN-Zero transformer block (reference nn/vit.py:302-333)."""
+    """adaLN-Zero transformer block (reference nn/vit.py:302-333).
+
+    With ``fused_block`` the whole composed path — LN, adaLN modulation,
+    qkv/out Dense, attention, MLP, gated residuals — runs as ONE Pallas
+    kernel per batch element (ops/fused_dit_block.py): the (B, N, H)
+    activation makes exactly one HBM round trip per block instead of one
+    per op. Param tree is identical to the unfused layout (Attention_0/
+    MlpBlock_0 Dense pairs), so checkpoints are interchangeable. Requires
+    an (N, N)-shared (or absent) mask and no pad_heads."""
 
     hidden: int
     num_heads: int
     mlp_ratio: float = 4.0
     attn_impl: str = "auto"
     fused_mlp: bool = False
+    fused_block: bool = False
     pad_heads: bool = False
     dtype: Any = jnp.float32
 
@@ -252,6 +297,21 @@ class DiTBlock(nn.Module):
             6 * self.hidden, kernel_init=zeros, bias_init=zeros, dtype=self.dtype,
             name="adaLN_modulation",
         )(nn.silu(c))
+        if self.fused_block and not self.pad_heads and (
+            mask is None or mask.ndim == 2
+        ):
+            from vit4hep_tpu.ops.fused_dit_block import fused_dit_block
+
+            wq, bq, wo, bo = _AttnParams(self.hidden, name="Attention_0")()
+            w1, b1, w2, b2 = _MlpParams(
+                self.hidden, int(self.hidden * self.mlp_ratio), name="MlpBlock_0"
+            )()
+            head_dim = self.hidden // self.num_heads
+            return fused_dit_block(
+                x.astype(jnp.float32), mod.reshape(x.shape[0], 6, self.hidden),
+                wq, bq, wo, bo, w1, b1, w2, b2, mask, self.num_heads,
+                float(head_dim) ** -0.5,
+            )
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)
         attn = Attention(
@@ -351,8 +411,8 @@ class _ViTBase(nn.Module):
             x = block_cls(
                 p.hidden_dim, p.num_heads, mlp_ratio=p.mlp_ratio,
                 attn_impl=p.attn_impl, fused_mlp=p.fused_mlp,
-                pad_heads=p.pad_attn_heads, dtype=p.dtype,
-                name=f"block_{i}",
+                fused_block=p.fused_block is True, pad_heads=p.pad_attn_heads,
+                dtype=p.dtype, name=f"block_{i}",
             )(x, c, mask)
         return x
 
@@ -440,6 +500,19 @@ class ViT1DNet(_ViTBase):
 # ---------------------------------------------------------------------------
 # config-surface factories (what `_target_: nn.vit.ViT` resolves to)
 # ---------------------------------------------------------------------------
+def sampling_variant(net):
+    """The forward-only twin of a net whose config requests
+    ``fused_block: sample``: same class, same param tree, but with the
+    DiT-block megakernel enabled. CFM models route ``sample_batch`` through
+    it while training keeps the composed path (see ViTParams.fused_block)."""
+    cfg = getattr(net, "cfg", None)
+    if getattr(cfg, "fused_block", None) == "sample":
+        import dataclasses
+
+        return type(net)(cfg=dataclasses.replace(cfg, fused_block=True))
+    return net
+
+
 def ViT(param: dict) -> ViTNet:
     return ViTNet(cfg=ViTParams.create(param))
 

@@ -1,0 +1,191 @@
+"""The full adaLN-Zero DiT block as ONE Pallas TPU kernel.
+
+Replaces the composed hot path of the reference's DiTBlock (nn/vit.py:
+302-333) — LayerNorm -> modulate -> qkv Dense -> attention -> out Dense ->
+gated residual -> LayerNorm -> modulate -> MLP -> gated residual — with a
+single fused kernel per batch element.
+
+Why: after the fused-layout attention kernel (ops/fused_qkv_attention.py)
+landed, the remaining block time is dominated by HBM round trips of the
+(B, N, H) activation between ops: every LayerNorm/modulate/residual/Dense
+boundary streams the full panel in and out of HBM (~1.3 GB per ds3 block
+eval beyond the unavoidable one-read-one-write). This kernel reads x and
+the six adaLN vectors once, keeps EVERYTHING — qkv, per-head scores,
+softmax, context, MLP hidden — resident in VMEM, and writes only the block
+output. Weights ride along as constant-indexed inputs (DMA'd once, not per
+grid cell).
+
+Matmuls run as bf16 multiplicands with f32 accumulation — XLA's own
+default-precision mode for f32 matmuls on TPU, so numerics match the
+unfused path to within its own rounding (CPU interpret mode stays f32 and
+matches elementwise).
+
+The backward is the VJP of the numerically-equivalent composed reference
+(:func:`dit_block_reference`), which routes attention through
+``fused_qkv_attention`` — so training backward runs on the fused attention
+fwd+bwd kernels plus XLA Dense VJPs, at the cost of one recomputed block
+forward (cheap now that the forward is fused).
+
+Shapes: x (B, N, H); mod6 (B, 6, H) ordered [shift_msa, scale_msa,
+gate_msa, shift_mlp, scale_mlp, gate_mlp] (= the adaLN Dense output
+reshaped); optional shared boolean (N, N) mask, True = attend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit4hep_tpu.ops.pallas_utils import interpret as _interpret
+
+_NEG_INF = -1e30
+_LN_EPS = 1e-6
+
+
+def _ln(x):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + _LN_EPS)
+
+
+def _block_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, num_heads,
+                  head_dim, scale, mm_dtype):
+    _block_kernel_masked(
+        x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref, None, o_ref,
+        num_heads=num_heads, head_dim=head_dim, scale=scale, mm_dtype=mm_dtype,
+    )
+
+
+def _block_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
+                         bout_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref,
+                         o_ref, *, num_heads, head_dim, scale, mm_dtype):
+    def mm(a, w, dims=((1,), (0,))):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), w.astype(mm_dtype), (dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    x = x_ref[0].astype(jnp.float32)  # (N, H)
+    mod = mod_ref[0].astype(jnp.float32)  # (6, H)
+
+    # ---- attention half -------------------------------------------------
+    h = _ln(x) * (1.0 + mod[1:2]) + mod[0:1]
+    qkv = mm(h, wqkv_ref[...]) + bqkv_ref[...][None, :]  # (N, 3*H)
+    h_tot, d = num_heads, head_dim
+    ctx = []
+    for hi in range(h_tot):
+        q = qkv[:, hi * d:(hi + 1) * d]
+        k = qkv[:, (h_tot + hi) * d:(h_tot + hi + 1) * d]
+        v = qkv[:, (2 * h_tot + hi) * d:(2 * h_tot + hi + 1) * d]
+        s = mm(q, k, ((1,), (1,))) * scale  # (N, N)
+        if mask_ref is not None:
+            s = jnp.where(mask_ref[0], s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        ctx.append(mm(p, v) / jnp.where(l == 0.0, 1.0, l))
+    attn = mm(jnp.concatenate(ctx, axis=-1), wout_ref[...])
+    x1 = x + mod[2:3] * (attn + bout_ref[...][None, :])
+
+    # ---- MLP half --------------------------------------------------------
+    h2 = _ln(x1) * (1.0 + mod[4:5]) + mod[3:4]
+    hid = jax.nn.gelu(mm(h2, w1_ref[...]) + b1_ref[...][None, :],
+                      approximate=True)
+    y = mm(hid, w2_ref[...]) + b2_ref[...][None, :]
+    o_ref[0] = (x1 + mod[5:6] * y).astype(o_ref.dtype)
+
+
+def dit_block_reference(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
+                        mask, num_heads, scale):
+    """Composed reference with identical math; attention rides the fused
+    qkv kernel (so its VJP uses the fused backward kernel). Used as the
+    megakernel's backward and in tests."""
+    from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
+
+    x = x.astype(jnp.float32)
+    mod = mod6.astype(jnp.float32)
+    h = _ln(x) * (1.0 + mod[:, 1:2]) + mod[:, 0:1]
+    qkv = h @ wqkv + bqkv
+    ctx = fused_qkv_attention(qkv, num_heads, mask, scale)
+    x1 = x + mod[:, 2:3] * (ctx @ wout + bout)
+    h2 = _ln(x1) * (1.0 + mod[:, 4:5]) + mod[:, 3:4]
+    y = jax.nn.gelu(h2 @ w1 + b1, approximate=True) @ w2 + b2
+    return x1 + mod[:, 5:6] * y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def fused_dit_block(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
+                    mask, num_heads, scale):
+    """One-kernel adaLN-Zero DiT block. See module docstring for shapes."""
+    out, _ = _block_fwd(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
+                        mask, num_heads, scale)
+    return out
+
+
+def _block_fwd(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
+               num_heads, scale):
+    b, n, hdim = x.shape
+    d = hdim // num_heads
+    fdim = w1.shape[1]
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    in_specs = [
+        pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 6, hdim), lambda i: (i, 0, 0)),
+        const(hdim, 3 * hdim), const(3 * hdim,),
+        const(hdim, hdim), const(hdim,),
+        const(hdim, fdim), const(fdim,),
+        const(fdim, hdim), const(hdim,),
+    ]
+    args = [x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2]
+    if mask is not None:
+        if mask.ndim != 2:
+            raise ValueError("fused_dit_block supports a shared (N, N) mask")
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
+        args.append(mask[None])
+
+    kernel = functools.partial(
+        _block_kernel_masked if mask is not None else _block_kernel,
+        num_heads=num_heads,
+        head_dim=d,
+        scale=d**-0.5 if scale is None else scale,
+        mm_dtype=jnp.float32 if _interpret() else jnp.bfloat16,
+    )
+    # VMEM budget: f32 weights + their bf16 casts (~1.5x), double-buffered
+    # x/mod/out panels, the (N, 3H) qkv + (N, F) MLP hidden (+bf16 casts),
+    # and one head's f32 score blocks.
+    wbytes = 4 * (hdim * 3 * hdim + hdim * hdim + 2 * hdim * fdim)
+    panels = 4 * n * (2 * hdim + 3 * hdim + fdim) * 2
+    scores = 12 * n * n
+    vmem = min(128 * 1024 * 1024,
+               max(48 * 1024 * 1024, 2 * wbytes + panels + scores))
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hdim), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return out, (x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask)
+
+
+def _block_bwd(num_heads, scale, res, g):
+    *diff_args, mask = res
+    _, vjp = jax.vjp(
+        lambda *a: dit_block_reference(*a, mask, num_heads, scale), *diff_args
+    )
+    return tuple(vjp(g)) + (None,)
+
+
+fused_dit_block.defvjp(_block_fwd, _block_bwd)

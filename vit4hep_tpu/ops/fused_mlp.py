@@ -49,14 +49,18 @@ def mlp_half_reference(x, shift, scale, gate, w1, b1, w2, b2):
 
 
 def _kernel(x_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-            f_chunks):
+            f_chunks, mm_dtype):
     """One grid step processes G batch elements' tokens at once.
 
     x_ref:  (G, T_pad, H) -> rows = G*T_pad for the matmuls
     mod_ref: (G, 3, H)    -> per-element modulation via (G, 1, H) broadcast
                              (no materialised (rows, H) repeat: VMEM stack)
     The hidden dim is processed in ``f_chunks`` column chunks so the
-    (rows, F) intermediate never exceeds the VMEM budget.
+    (rows, F) intermediate never exceeds the VMEM budget. Matmuls run with
+    ``mm_dtype`` (bf16 on TPU) multiplicands and f32 accumulation — XLA's
+    own default-precision f32 matmul mode, at full MXU rate instead of the
+    multi-pass f32 mode (the round-1 f32-dot version of this kernel lost to
+    XLA for exactly that reason).
     """
     g, t, hdim = x_ref.shape
     rows = g * t
@@ -67,16 +71,19 @@ def _kernel(x_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
     u = (x - mu) * jax.lax.rsqrt(var + 1e-6)
     h_in = (u * (1.0 + mod[:, 1:2, :]) + mod[:, 0:1, :]).reshape(rows, hdim)
+    h_in = h_in.astype(mm_dtype)
 
     fdim = w1_ref.shape[1]
     chunk = fdim // f_chunks
     acc = jnp.zeros((rows, hdim), jnp.float32)
     for ci in range(f_chunks):
         sl = pl.ds(ci * chunk, chunk)
-        hc = jnp.dot(h_in, w1_ref[:, sl], preferred_element_type=jnp.float32)
+        hc = jnp.dot(h_in, w1_ref[:, sl].astype(mm_dtype),
+                     preferred_element_type=jnp.float32)
         hc = hc + b1_ref[sl][None, :]
         hc = jax.nn.gelu(hc, approximate=True)
-        acc = acc + jnp.dot(hc, w2_ref[sl, :], preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(hc.astype(mm_dtype), w2_ref[sl, :].astype(mm_dtype),
+                            preferred_element_type=jnp.float32)
     acc = (acc + b2_ref[...][None, :]).reshape(g, t, hdim)
     o_ref[...] = (x + mod[:, 2:3, :] * acc).astype(o_ref.dtype)
 
@@ -96,7 +103,10 @@ def _fused_forward(x, shift, scale, gate, w1, b1, w2, b2, group=16, f_chunks=1):
     mod = jnp.pad(mod, [(0, b_pad - b), (0, 0), (0, 0)])
 
     out = pl.pallas_call(
-        functools.partial(_kernel, f_chunks=f_chunks),
+        functools.partial(
+            _kernel, f_chunks=f_chunks,
+            mm_dtype=jnp.float32 if _interpret() else jnp.bfloat16,
+        ),
         grid=(b_pad // group,),
         in_specs=[
             pl.BlockSpec((group, t_pad, hdim), lambda i: (i, 0, 0)),
