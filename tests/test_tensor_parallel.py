@@ -135,3 +135,41 @@ def test_checkpoint_roundtrip_under_sharding(tmp_path):
     resharded = mesh_lib.shard_state(jax.tree.map(jnp.asarray, restored), mesh)
     _, m = step(resharded, mesh_lib.shard_batch((x, c), mesh), jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_tp_matches_replicated_at_kernel_shapes():
+    """Same TP parity check but at >=128 tokens, where `attn_impl: auto`
+    routes through the fused-layout Pallas kernel — verifies XLA's SPMD
+    partitioner composes the pallas_call with Megatron-sharded qkv/out
+    kernels correctly (round 2: the kernel consumes the qkv Dense output
+    natively, so its operand inherits the column-sharded layout)."""
+    from vit4hep_tpu.utils.config import instantiate
+
+    model = instantiate({
+        "_target_": "experiments.calochallenge.calochallenge_cfm.model.CaloChallengeCFM",
+        "in_channels": 1, "shape": [9, 8, 2], "patch_shape": [1, 1, 1],
+        "odeint_kwargs": {"method": "euler", "options": {"step_size": 0.5}},
+        "net": {"_target_": "nn.vit.ViT", "param": {
+            "dim": 3, "condition_dim": 3, "hidden_dim": 48, "depth": 1,
+            "num_heads": 2, "mlp_ratio": 2.0, "num_patches": [[9, 8, 2]],
+            "patch_dim": 1}},
+    })
+    assert model.net.cfg.num_patches == ((9, 8, 2),)  # 144 tokens >= 128
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 1, 9, 8, 2)), jnp.float32)
+    t = jnp.full((8, 1), 0.4)
+    c = jnp.asarray(np.random.default_rng(1).normal(size=(8, 3)), jnp.float32)
+
+    fwd = jax.jit(lambda p, x, t, c: model.forward(p, x, t, c))
+
+    mesh_dp = mesh_lib.create_mesh(model_parallel=1)
+    out_ref = np.asarray(fwd(mesh_lib.replicate(params, mesh_dp),
+                             mesh_lib.shard_batch(x, mesh_dp), t, c))
+
+    mesh_tp = mesh_lib.create_mesh(model_parallel=2)
+    p_tp = shard_tree(params, mesh_tp)
+    qkv = p_tp["params"]["block_0"]["Attention_0"]["Dense_0"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
+    out_tp = np.asarray(fwd(p_tp, mesh_lib.shard_batch(x, mesh_tp), t, c))
+    np.testing.assert_allclose(out_tp, out_ref, atol=1e-5)

@@ -101,6 +101,217 @@ def _block_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
     o_ref[0] = (x1 + mod[5:6] * y).astype(o_ref.dtype)
 
 
+def _bwd_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                       w1_ref, b1_ref, w2_ref, b2_ref, g_ref, mask_ref,
+                       dx_ref, dmod_ref, dwqkv_ref, dbqkv_ref, dwout_ref,
+                       dbout_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+                       num_heads, head_dim, scale, mm_dtype):
+    """Backward megakernel: recomputes the forward's intermediates per batch
+    cell in VMEM (flash-attention style), then backpropagates the whole
+    block — attention included — emitting per-cell dx/dmod and accumulating
+    the weight/bias grads across the sequential grid into constant-indexed
+    outputs (zero-initialized at cell 0)."""
+
+    def mm(a, w, dims=((1,), (0,))):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), w.astype(mm_dtype), (dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref, dw1_ref,
+                    db1_ref, dw2_ref, db2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (N, H)
+    mod = mod_ref[0].astype(jnp.float32)  # (6, H)
+    g = g_ref[0].astype(jnp.float32)  # (N, H)
+    h_tot, d = num_heads, head_dim
+
+    def ln_fwd(z):
+        mu = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.mean((z - mu) ** 2, axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var + _LN_EPS)
+        return (z - mu) * inv, inv
+
+    def ln_bwd(du, u, inv):
+        # VJP of u = (z - mean(z)) * rsqrt(var(z) + eps) without affine
+        return inv * (
+            du - jnp.mean(du, axis=-1, keepdims=True)
+            - u * jnp.mean(du * u, axis=-1, keepdims=True)
+        )
+
+    # ---- forward recompute ------------------------------------------------
+    u, inv1 = ln_fwd(x)
+    h = u * (1.0 + mod[1:2]) + mod[0:1]
+    qkv = mm(h, wqkv_ref[...]) + bqkv_ref[...][None, :]
+    ps, ctxs = [], []
+    for hi in range(h_tot):
+        q = qkv[:, hi * d:(hi + 1) * d]
+        k = qkv[:, (h_tot + hi) * d:(h_tot + hi + 1) * d]
+        v = qkv[:, (2 * h_tot + hi) * d:(2 * h_tot + hi + 1) * d]
+        s = mm(q, k, ((1,), (1,))) * scale
+        if mask_ref is not None:
+            s = jnp.where(mask_ref[0], s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / jnp.where(l == 0.0, 1.0, l)
+        ps.append(p)
+        ctxs.append(mm(p, v))
+    ctx = jnp.concatenate(ctxs, axis=-1)
+    attn = mm(ctx, wout_ref[...]) + bout_ref[...][None, :]
+    x1 = x + mod[2:3] * attn
+    u2, inv2 = ln_fwd(x1)
+    h2 = u2 * (1.0 + mod[4:5]) + mod[3:4]
+    a1 = mm(h2, w1_ref[...]) + b1_ref[...][None, :]
+    hid = jax.nn.gelu(a1, approximate=True)
+    y = mm(hid, w2_ref[...]) + b2_ref[...][None, :]
+
+    # ---- backward ---------------------------------------------------------
+    # out = x1 + mod5 * y
+    dy = g * mod[5:6]
+    dmod5 = jnp.sum(g * y, axis=0)
+    # y = hid @ w2 + b2
+    dhid = mm(dy, w2_ref[...], ((1,), (1,)))
+    dw2_ref[...] += mm(hid, dy, ((0,), (0,)))
+    db2_ref[...] += jnp.sum(dy, axis=0)
+    # hid = gelu(a1)
+    _, gelu_vjp = jax.vjp(lambda z: jax.nn.gelu(z, approximate=True), a1)
+    da1 = gelu_vjp(dhid)[0]
+    # a1 = h2 @ w1 + b1
+    dh2 = mm(da1, w1_ref[...], ((1,), (1,)))
+    dw1_ref[...] += mm(h2, da1, ((0,), (0,)))
+    db1_ref[...] += jnp.sum(da1, axis=0)
+    # h2 = u2 * (1 + mod4) + mod3
+    dmod4 = jnp.sum(dh2 * u2, axis=0)
+    dmod3 = jnp.sum(dh2, axis=0)
+    du2 = dh2 * (1.0 + mod[4:5])
+    dx1 = g + ln_bwd(du2, u2, inv2)
+    # x1 = x + mod2 * attn
+    dattn = dx1 * mod[2:3]
+    dmod2 = jnp.sum(dx1 * attn, axis=0)
+    # attn = ctx @ wout + bout
+    dctx = mm(dattn, wout_ref[...], ((1,), (1,)))
+    dwout_ref[...] += mm(ctx, dattn, ((0,), (0,)))
+    dbout_ref[...] += jnp.sum(dattn, axis=0)
+    # attention per head
+    dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
+    for hi in range(h_tot):
+        q = qkv[:, hi * d:(hi + 1) * d]
+        k = qkv[:, (h_tot + hi) * d:(h_tot + hi + 1) * d]
+        v = qkv[:, (2 * h_tot + hi) * d:(2 * h_tot + hi + 1) * d]
+        p = ps[hi]
+        gh = dctx[:, hi * d:(hi + 1) * d]
+        dv = mm(p, gh, ((0,), (0,)))
+        dp = mm(gh, v, ((1,), (1,)))
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))) * scale
+        dqkv_parts_q.append(mm(ds, k, ((1,), (0,))))
+        dqkv_parts_k.append(mm(ds, q, ((0,), (0,))))
+        dqkv_parts_v.append(dv)
+    dqkv = jnp.concatenate(dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1)
+    # qkv = h @ wqkv + bqkv
+    dh = mm(dqkv, wqkv_ref[...], ((1,), (1,)))
+    dwqkv_ref[...] += mm(h, dqkv, ((0,), (0,)))
+    dbqkv_ref[...] += jnp.sum(dqkv, axis=0)
+    # h = u * (1 + mod1) + mod0
+    dmod1 = jnp.sum(dh * u, axis=0)
+    dmod0 = jnp.sum(dh, axis=0)
+    du = dh * (1.0 + mod[1:2])
+    dx = dx1 + ln_bwd(du, u, inv1)
+
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dmod_ref[0] = jnp.stack(
+        [dmod0, dmod1, dmod2, dmod3, dmod4, dmod5], axis=0
+    ).astype(dmod_ref.dtype)
+
+
+def _bwd_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                w1_ref, b1_ref, w2_ref, b2_ref, g_ref, *out_refs, **kw):
+    _bwd_kernel_masked(
+        x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref, g_ref, None, *out_refs, **kw
+    )
+
+
+def fused_dit_block_bwd(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
+                        g, mask, num_heads, scale):
+    """Gradient of the DiT block wrt every input, as one Pallas kernel.
+
+    Returns (dx, dmod6, dwqkv, dbqkv, dwout, dbout, dw1, db1, dw2, db2).
+    """
+    b, n, hdim = x.shape
+    d = hdim // num_heads
+    fdim = w1.shape[1]
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    in_specs = [
+        pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 6, hdim), lambda i: (i, 0, 0)),
+        const(hdim, 3 * hdim), const(3 * hdim,),
+        const(hdim, hdim), const(hdim,),
+        const(hdim, fdim), const(fdim,),
+        const(fdim, hdim), const(hdim,),
+        pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0)),
+    ]
+    args = [x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2, g]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
+        args.append(mask[None])
+
+    out_specs = [
+        pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 6, hdim), lambda i: (i, 0, 0)),
+        const(hdim, 3 * hdim), const(3 * hdim,),
+        const(hdim, hdim), const(hdim,),
+        const(hdim, fdim), const(fdim,),
+        const(fdim, hdim), const(hdim,),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, hdim), x.dtype),
+        jax.ShapeDtypeStruct((b, 6, hdim), mod6.dtype),
+        jax.ShapeDtypeStruct(wqkv.shape, jnp.float32),
+        jax.ShapeDtypeStruct(bqkv.shape, jnp.float32),
+        jax.ShapeDtypeStruct(wout.shape, jnp.float32),
+        jax.ShapeDtypeStruct(bout.shape, jnp.float32),
+        jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+        jax.ShapeDtypeStruct(b1.shape, jnp.float32),
+        jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+        jax.ShapeDtypeStruct(b2.shape, jnp.float32),
+    ]
+    kernel = functools.partial(
+        _bwd_kernel_masked if mask is not None else _bwd_kernel,
+        num_heads=num_heads,
+        head_dim=d,
+        scale=d**-0.5 if scale is None else scale,
+        mm_dtype=jnp.float32 if _interpret() else jnp.bfloat16,
+    )
+    wbytes = 4 * (hdim * 3 * hdim + hdim * hdim + 2 * hdim * fdim)
+    panels = 4 * n * (4 * hdim + 2 * 3 * hdim + 2 * fdim) * 2
+    scores = 4 * n * n * (2 + num_heads)  # per-head p kept + live s/dp blocks
+    vmem = min(128 * 1024 * 1024,
+               max(64 * 1024 * 1024, 3 * wbytes + panels + scores))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            # weight-grad accumulation requires strictly sequential cells
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    dx, dmod, dwqkv, dbqkv, dwout, dbout, dw1, db1, dw2, db2 = outs
+    cast = lambda gr, ref: gr.astype(ref.dtype)
+    return (dx, dmod, cast(dwqkv, wqkv), cast(dbqkv, bqkv), cast(dwout, wout),
+            cast(dbout, bout), cast(dw1, w1), cast(db1, b1), cast(dw2, w2),
+            cast(db2, b2))
+
+
 def dit_block_reference(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
                         mask, num_heads, scale):
     """Composed reference with identical math; attention rides the fused
@@ -182,10 +393,8 @@ def _block_fwd(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
 
 def _block_bwd(num_heads, scale, res, g):
     *diff_args, mask = res
-    _, vjp = jax.vjp(
-        lambda *a: dit_block_reference(*a, mask, num_heads, scale), *diff_args
-    )
-    return tuple(vjp(g)) + (None,)
+    grads = fused_dit_block_bwd(*diff_args, g, mask, num_heads, scale)
+    return grads + (None,)
 
 
 fused_dit_block.defvjp(_block_fwd, _block_bwd)
