@@ -356,3 +356,37 @@ def test_fused_block_sample_mode():
     s_ref = m_ref.sample_batch(params, c, jax.random.fold_in(key, 3))
     s_smp = m_smp.sample_batch(params, c, jax.random.fold_in(key, 3))
     np.testing.assert_allclose(np.asarray(s_smp), np.asarray(s_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_fused_dit_block_bwd_matches_reference_vjp(use_mask):
+    """The backward megakernel's grads equal the VJP of the composed
+    reference for EVERY input (x, mod6, and all eight weight/bias leaves)."""
+    from vit4hep_tpu.ops.fused_dit_block import (
+        dit_block_reference, fused_dit_block)
+
+    rng = np.random.default_rng(30)
+    h, d, f, n, b = 2, 8, 32, 40, 3
+    hid = h * d
+    x = jnp.asarray(rng.normal(size=(b, n, hid)), jnp.float32)
+    mod6 = jnp.asarray(rng.normal(size=(b, 6, hid)) * 0.3, jnp.float32)
+    ws = [jnp.asarray(rng.normal(size=s) * 0.1, jnp.float32) for s in
+          [(hid, 3 * hid), (3 * hid,), (hid, hid), (hid,),
+           (hid, f), (f,), (f, hid), (hid,)]]
+    mask = jnp.asarray(layer_causal_mask((5, 4, 2))) if use_mask else None
+    scale = d**-0.5
+
+    def loss_kernel(*a):
+        return jnp.sum(fused_dit_block(*a, mask, h, scale) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(dit_block_reference(*a, mask, h, scale) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=tuple(range(10)))(x, mod6, *ws)
+    gr = jax.grad(loss_ref, argnums=tuple(range(10)))(x, mod6, *ws)
+    names = ["x", "mod6", "wqkv", "bqkv", "wout", "bout", "w1", "b1", "w2", "b2"]
+    for a, b_, name in zip(gk, gr, names):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-4,
+            err_msg=f"d{name} mismatch",
+        )

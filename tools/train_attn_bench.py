@@ -1,11 +1,13 @@
-"""ds3 train-step throughput: attn_impl auto (vmem fwd + flash bwd) vs xla.
+"""Train-step throughput A/B: attn_impl auto vs xla at ds2/ds3 shapes.
 
-The `auto` dispatch (ops/attention.py) routes N=450 through the one-shot
-VMEM kernel, whose custom VJP reuses the FlashAttention-2 backward kernels.
-The flash *forward* lost to XLA at ds3 shapes in round 1, so the backward
-needs its own measurement before `auto` can be trusted in training. This
-times `inner` full donated train steps scanned inside one jitted program
-(bench.py's bench_train pattern) for each impl.
+The model path's `auto` dispatch (ops/attention.py:qkv_attention) routes
+N>=128 through the fused-layout kernel pair (ops/fused_qkv_attention.py,
+fwd + bwd) — this tool measures full donated train steps (`inner` steps
+scanned inside one jitted program, bench.py's bench_train pattern) for
+each impl, so any backward-kernel regression shows up as train it/s.
+History: this A/B caught the einsum-backward regression (ds2 51.6 vs 54.6
+xla) that motivated the dedicated backward kernel (63.0 after), and the
+round-2 numbers in BASELINE.md (ds2 63.0/72.3, ds3 88.0 vs ~55 xla).
 
 Run: python tools/train_attn_bench.py
 """

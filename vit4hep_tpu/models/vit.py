@@ -117,6 +117,12 @@ class ViTParams:
             kwargs["num_patches"] = _normalize_num_patches(kwargs["num_patches"])
         if "mlp_ratio" in kwargs:
             kwargs["mlp_ratio"] = float(kwargs["mlp_ratio"])
+        if kwargs.get("fused_block", False) not in (False, True, "sample"):
+            raise ValueError(
+                f"fused_block must be true, false, or 'sample' — got "
+                f"{kwargs['fused_block']!r} (a typo here would silently "
+                "disable the megakernel)"
+            )
         return cls(**kwargs)
 
     @property

@@ -97,17 +97,20 @@ def qkv_attention(qkv, num_heads, mask=None, impl="auto", scale=None):
     Returns the merged (B, N, H*D) context, ready for the out-projection.
     ``auto`` picks the measured-fastest path by sequence length (v5e, full
     Attention-module context, tools/attn_bench.py): XLA below 128 tokens
-    (fused 1.09 vs 0.62 ms at N=88), the fused-layout kernel from 128 to
-    1024 (1.20 vs 1.85 ms at ds2 N=135; 5.02 vs 9.57 at ds3 N=450), and the
-    flash kernel above (the (N, 3HD) panel outgrows VMEM)."""
+    (fused 1.49 vs 0.55 ms at N=88), the fused-layout kernel from 128 up to
+    2048 while its VMEM working set fits (1.22 vs 1.84 ms at ds2 N=135;
+    5.03 vs 9.54 at ds3 N=450; 1.17 vs 3.54 at N=2048), and the flash
+    kernel beyond (the (N, 3HD) panel + scores outgrow VMEM)."""
     n = qkv.shape[-2]
     if impl == "auto":
         kernel_ok = mask is None or mask.ndim == 2
-        # measured fused wins through N=2048 (1.17 vs 1.70 ms); beyond that
-        # the panel + score working set must still fit the 128M VMEM budget
-        # (ops/fused_qkv_attention.py) or Mosaic refuses to compile
+        # measured fused wins at every point up to N=2048 (1.17 vs 1.70 ms
+        # vmem / 3.54 xla); the cap is BOTH the largest measured-to-compile
+        # length (2048) and a VMEM working-set bound for narrower/wider
+        # hidden dims — beyond either, the online-softmax flash kernel
+        # takes over rather than risking a Mosaic VMEM compile failure
         hd = qkv.shape[-1] // 3
-        fused_fits = 16 * n * hd + 20 * n * n <= 120 * 1024 * 1024
+        fused_fits = n <= 2048 and 16 * n * hd + 20 * n * n <= 120 * 1024 * 1024
         if kernel_ok and n >= 128 and fused_fits:
             impl = "fused"
         elif kernel_ok and n >= 128:

@@ -20,11 +20,12 @@ default-precision mode for f32 matmuls on TPU, so numerics match the
 unfused path to within its own rounding (CPU interpret mode stays f32 and
 matches elementwise).
 
-The backward is the VJP of the numerically-equivalent composed reference
-(:func:`dit_block_reference`), which routes attention through
-``fused_qkv_attention`` — so training backward runs on the fused attention
-fwd+bwd kernels plus XLA Dense VJPs, at the cost of one recomputed block
-forward (cheap now that the forward is fused).
+The backward is a second megakernel (:func:`fused_dit_block_bwd`): it
+recomputes the forward's intermediates per batch cell in VMEM
+(flash-attention style) and backpropagates the whole block in one pass,
+accumulating weight/bias grads across the sequential grid.
+:func:`dit_block_reference` is the readable composed equivalent, kept as
+the test oracle for both directions.
 
 Shapes: x (B, N, H); mod6 (B, 6, H) ordered [shift_msa, scale_msa,
 gate_msa, shift_mlp, scale_mlp, gate_mlp] (= the adaLN Dense output
@@ -315,8 +316,8 @@ def fused_dit_block_bwd(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
 def dit_block_reference(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
                         mask, num_heads, scale):
     """Composed reference with identical math; attention rides the fused
-    qkv kernel (so its VJP uses the fused backward kernel). Used as the
-    megakernel's backward and in tests."""
+    qkv kernel. The test oracle for the forward and backward megakernels
+    (tests/test_attention.py)."""
     from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
 
     x = x.astype(jnp.float32)

@@ -20,10 +20,11 @@ Matmul precision: inputs are cast to bfloat16 with float32 accumulation —
 exactly what XLA does for float32 matmuls at default precision on TPU, so
 numerics match the XLA path to within its own rounding.
 
-The backward pass reuses the FlashAttention-2 backward kernels (dK/dV and dQ,
-ops/flash_attention.py) via the same (BH, N_pad, 1) log-sum-exp residual
-contract; padded rows carry lse=0, which contribute exactly zero gradient
-(padded do/q rows are zero).
+The backward pass is a matching one-shot kernel that rebuilds the
+probabilities as exp(s - lse) with the SAME matmul precision as the
+forward (bf16 multiplicands on TPU), so p is exactly the forward's own
+softmax — reusing an f32-recompute backward (the flash kernels) against a
+bf16-logit lse would yield biased, unnormalized probabilities.
 
 Shapes: q, k, v are (B, H, N, D); optional shared boolean (N, N) mask
 (True = attend); output (B, H, N, D).
@@ -39,7 +40,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vit4hep_tpu.ops.pallas_utils import interpret as _interpret
-from vit4hep_tpu.ops.pallas_utils import round_up as _round_up
 
 _NEG_INF = -1e30
 
@@ -137,18 +137,75 @@ def _vmem_fwd(q, k, v, mask, scale=None):
     return o, (q, k, v, mask, o, lse)
 
 
-def _vmem_bwd(scale, res, g):
-    # Reuse the FlashAttention-2 backward kernels: they consume the
-    # (BH, N_pad, 1) lse residual; rows past N carry lse=0, whose
-    # contributions vanish because the padded q/do rows are zero.
-    from vit4hep_tpu.ops.flash_attention import _block_sizes, _flash_bwd
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, mask_ref, dq_ref, dk_ref,
+                dv_ref, *, scale, mm_dtype):
+    """One-shot backward matching the forward's matmul precision: the
+    probabilities are rebuilt as exp(s_bf16 - lse) with the SAME bf16
+    logits the forward produced, so p is the forward's own softmax (the
+    earlier flash-bwd reuse recomputed the scores in f32, giving biased,
+    unnormalized probabilities against a bf16-logit lse)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
 
+    def mm(a, b_, dims):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), b_.astype(mm_dtype), (dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    s = mm(q, k, ((1,), (1,))) * scale
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[0], s, _NEG_INF)
+    p = jnp.exp(s - lse_ref[0])  # (N, M); masked entries -> 0
+    dv_ref[0] = mm(p, g, ((0,), (0,))).astype(dv_ref.dtype)
+    dp = mm(g, v, ((1,), (1,)))
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))) * scale
+    dq_ref[0] = mm(ds, k, ((1,), (0,))).astype(dq_ref.dtype)
+    dk_ref[0] = mm(ds, q, ((0,), (0,))).astype(dk_ref.dtype)
+
+
+def _bwd_kernel_nomask(q_ref, k_ref, v_ref, g_ref, lse_ref, *out_refs, **kw):
+    _bwd_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, None, *out_refs, **kw)
+
+
+def _vmem_bwd(scale, res, g):
     q, k, v, mask, o, lse = res
     b, h, n, d = q.shape
-    bq, bk = _block_sizes(n, 256, 256)
-    n_pad = _round_up(n, max(bq, bk))
-    lse_p = jnp.pad(lse, [(0, 0), (0, n_pad - n), (0, 0)])
-    dq, dk, dv, _ = _flash_bwd(256, 256, scale, (q, k, v, mask, o, lse_p), g)
+    bh = b * h
+    qf, kf, vf = (t.reshape(bh, n, d) for t in (q, k, v))
+    gf = g.reshape(bh, n, d)
+
+    in_specs = [pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))] * 4 + [
+        pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0))
+    ]
+    args = [qf, kf, vf, gf, lse]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
+        args.append(mask[None])
+
+    kernel = functools.partial(
+        _bwd_kernel if mask is not None else _bwd_kernel_nomask,
+        scale=d**-0.5 if scale is None else scale,
+        mm_dtype=jnp.float32 if _interpret() else jnp.bfloat16,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))] * 3,
+        out_shape=[jax.ShapeDtypeStruct((bh, n, d), q.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=min(
+                128 * 1024 * 1024,
+                max(32 * 1024 * 1024, 14 * n * n * 4 + 28 * n * d * 4),
+            ),
+        ),
+        interpret=_interpret(),
+    )(*args)
+    dq, dk, dv = (t.reshape(b, h, n, d) for t in outs)
     return dq, dk, dv, None
 
 
