@@ -390,3 +390,32 @@ def test_fused_dit_block_bwd_matches_reference_vjp(use_mask):
             np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-4,
             err_msg=f"d{name} mismatch",
         )
+
+
+def test_fused_block_stack_deep_with_mask():
+    """Depth-3 ViT with a causal mask through the block-STACK kernel equals
+    the composed path, fwd + grads (grads ride the composed-reference VJP)."""
+    from vit4hep_tpu.models.vit import ViT
+
+    param = dict(
+        dim=3, condition_dim=7, hidden_dim=96, out_channels=1, depth=3,
+        num_heads=2, mlp_ratio=2, learn_pos_embed=True, causal_attn=True,
+        num_patches=[[3, 2, 2]], patch_dim=6,
+    )
+    net_a = ViT(dict(param))
+    net_b = ViT(dict(param, fused_block=True))
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (3, 12, 6))
+    t = jax.random.uniform(jax.random.fold_in(key, 1), (3,))
+    c = jax.random.normal(jax.random.fold_in(key, 2), (3, 7))
+    pa = net_a.init(jax.random.PRNGKey(7), x, t, c)
+    assert jax.tree.structure(pa) == jax.tree.structure(
+        net_b.init(jax.random.PRNGKey(7), x, t, c))
+    np.testing.assert_allclose(
+        np.asarray(net_b.apply(pa, x, t, c)), np.asarray(net_a.apply(pa, x, t, c)),
+        atol=1e-5,
+    )
+    ga = jax.grad(lambda p: jnp.sum(net_a.apply(p, x, t, c) ** 2))(pa)
+    gb = jax.grad(lambda p: jnp.sum(net_b.apply(p, x, t, c) ** 2))(pa)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

@@ -277,6 +277,29 @@ class _MlpParams(nn.Module):
         return w1, b1, w2, b2
 
 
+class _BlockParams(nn.Module):
+    """Parameter-only stand-in for a whole DiTBlock (adaLN_modulation Dense
+    + Attention_0 + MlpBlock_0), used by the fused block-stack path. The
+    adaLN Dense is applied here (it consumes the conditioning, not the
+    token panel); the returned weights feed the stack kernel."""
+
+    hidden: int
+    mlp_hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c_act):
+        mod = nn.Dense(
+            6 * self.hidden, kernel_init=zeros, bias_init=zeros,
+            dtype=self.dtype, name="adaLN_modulation",
+        )(c_act)
+        wq, bq, wo, bo = _AttnParams(self.hidden, name="Attention_0")()
+        w1, b1, w2, b2 = _MlpParams(
+            self.hidden, self.mlp_hidden, name="MlpBlock_0"
+        )()
+        return mod, (wq, bq, wo, bo, w1, b1, w2, b2)
+
+
 class DiTBlock(nn.Module):
     """adaLN-Zero transformer block (reference nn/vit.py:302-333).
 
@@ -410,6 +433,12 @@ class _ViTBase(nn.Module):
 
     def _blocks(self, x, c, mask):
         p = self.cfg
+        if (
+            p.fused_block is True
+            and not p.pad_attn_heads
+            and (mask is None or mask.ndim == 2)
+        ):
+            return self._fused_block_stack(x, c, mask)
         block_cls = DiTBlock
         if p.checkpoint_grads:
             block_cls = nn.remat(DiTBlock, static_argnums=())
@@ -421,6 +450,46 @@ class _ViTBase(nn.Module):
                 dtype=p.dtype, name=f"block_{i}",
             )(x, c, mask)
         return x
+
+    def _fused_block_stack(self, x, c, mask):
+        """All blocks as ONE Pallas kernel per batch element
+        (ops/fused_dit_block.py:fused_dit_stack): the activation panel
+        never returns to HBM between blocks. Param tree identical to the
+        per-block modules (block_i/{adaLN_modulation, Attention_0,
+        MlpBlock_0}), so checkpoints are interchangeable. Falls back to
+        the per-block megakernel when the stack's VMEM estimate exceeds
+        the 128M budget."""
+        from vit4hep_tpu.ops.fused_dit_block import (
+            fused_dit_stack, stack_vmem_estimate)
+
+        p = self.cfg
+        mlp_hidden = int(p.hidden_dim * p.mlp_ratio)
+        b, n, _ = x.shape
+        c_act = nn.silu(c)
+        mods, weights = [], []
+        for i in range(p.depth):
+            mod, ws = _BlockParams(
+                p.hidden_dim, mlp_hidden, dtype=p.dtype, name=f"block_{i}"
+            )(c_act)
+            mods.append(mod.reshape(b, 6, p.hidden_dim))
+            weights.append(ws)
+        if stack_vmem_estimate(
+            n, p.hidden_dim, mlp_hidden, p.depth, p.num_heads
+        ) > 120 * 1024 * 1024:
+            from vit4hep_tpu.ops.fused_dit_block import fused_dit_block
+
+            head_scale = float(p.hidden_dim // p.num_heads) ** -0.5
+            for mod, ws in zip(mods, weights):
+                x = fused_dit_block(
+                    x.astype(jnp.float32), mod, *ws, mask, p.num_heads,
+                    head_scale,
+                )
+            return x
+        stacked = [jnp.stack(arrs) for arrs in zip(*weights)]
+        return fused_dit_stack(
+            x.astype(jnp.float32), jnp.stack(mods, axis=1), *stacked, mask,
+            p.num_heads, float(p.hidden_dim // p.num_heads) ** -0.5,
+        )
 
 
 class ViTNet(_ViTBase):

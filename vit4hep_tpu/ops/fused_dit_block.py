@@ -63,21 +63,21 @@ def _block_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     )
 
 
-def _block_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
-                         bout_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref,
-                         o_ref, *, num_heads, head_dim, scale, mm_dtype):
+def _block_body(x, mod, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, *,
+                num_heads, head_dim, scale, mm_dtype):
+    """One adaLN-Zero block on VMEM-resident VALUES: x (N, H) f32, mod
+    (6, H) f32, weights in ``mm_dtype`` (or castable), optional mask
+    (N, N). Shared by the single-block and block-stack kernels."""
+
     def mm(a, w, dims=((1,), (0,))):
         return jax.lax.dot_general(
             a.astype(mm_dtype), w.astype(mm_dtype), (dims, ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    x = x_ref[0].astype(jnp.float32)  # (N, H)
-    mod = mod_ref[0].astype(jnp.float32)  # (6, H)
-
     # ---- attention half -------------------------------------------------
     h = _ln(x) * (1.0 + mod[1:2]) + mod[0:1]
-    qkv = mm(h, wqkv_ref[...]) + bqkv_ref[...][None, :]  # (N, 3*H)
+    qkv = mm(h, wqkv) + bqkv[None, :].astype(jnp.float32)  # (N, 3*H)
     h_tot, d = num_heads, head_dim
     ctx = []
     for hi in range(h_tot):
@@ -85,21 +85,165 @@ def _block_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
         k = qkv[:, (h_tot + hi) * d:(h_tot + hi + 1) * d]
         v = qkv[:, (2 * h_tot + hi) * d:(2 * h_tot + hi + 1) * d]
         s = mm(q, k, ((1,), (1,))) * scale  # (N, N)
-        if mask_ref is not None:
-            s = jnp.where(mask_ref[0], s, _NEG_INF)
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         ctx.append(mm(p, v) / jnp.where(l == 0.0, 1.0, l))
-    attn = mm(jnp.concatenate(ctx, axis=-1), wout_ref[...])
-    x1 = x + mod[2:3] * (attn + bout_ref[...][None, :])
+    attn = mm(jnp.concatenate(ctx, axis=-1), wout)
+    x1 = x + mod[2:3] * (attn + bout[None, :].astype(jnp.float32))
 
     # ---- MLP half --------------------------------------------------------
     h2 = _ln(x1) * (1.0 + mod[4:5]) + mod[3:4]
-    hid = jax.nn.gelu(mm(h2, w1_ref[...]) + b1_ref[...][None, :],
+    hid = jax.nn.gelu(mm(h2, w1) + b1[None, :].astype(jnp.float32),
                       approximate=True)
-    y = mm(hid, w2_ref[...]) + b2_ref[...][None, :]
-    o_ref[0] = (x1 + mod[5:6] * y).astype(o_ref.dtype)
+    y = mm(hid, w2) + b2[None, :].astype(jnp.float32)
+    return x1 + mod[5:6] * y
+
+
+def _block_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
+                         bout_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref,
+                         o_ref, *, num_heads, head_dim, scale, mm_dtype):
+    out = _block_body(
+        x_ref[0].astype(jnp.float32), mod_ref[0].astype(jnp.float32),
+        wqkv_ref[...], bqkv_ref[...], wout_ref[...], bout_ref[...],
+        w1_ref[...], b1_ref[...], w2_ref[...], b2_ref[...],
+        mask_ref[0] if mask_ref is not None else None,
+        num_heads=num_heads, head_dim=head_dim, scale=scale, mm_dtype=mm_dtype,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _stack_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
+                         bout_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref,
+                         o_ref, *, depth, num_heads, head_dim, scale,
+                         mm_dtype):
+    """All ``depth`` blocks on one VMEM-resident x panel: the activation
+    never returns to HBM between blocks. Weight refs are stacked (L, ...)
+    and pre-cast to the matmul dtype by the caller (bf16 on TPU — halves
+    their resident VMEM footprint and skips in-kernel cast copies)."""
+    x = x_ref[0].astype(jnp.float32)
+    mask = mask_ref[0] if mask_ref is not None else None
+    for li in range(depth):
+        x = _block_body(
+            x, mod_ref[0, li].astype(jnp.float32),
+            wqkv_ref[li], bqkv_ref[li], wout_ref[li], bout_ref[li],
+            w1_ref[li], b1_ref[li], w2_ref[li], b2_ref[li], mask,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            mm_dtype=mm_dtype,
+        )
+    o_ref[0] = x.astype(o_ref.dtype)
+
+
+def _stack_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, o_ref, **kw):
+    _stack_kernel_masked(
+        x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref, None, o_ref, **kw
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def fused_dit_stack(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
+                    num_heads, scale):
+    """The whole DiT-block stack as ONE Pallas kernel per batch element.
+
+    x (B, N, H); mods (B, L, 6, H); weights stacked on a leading (L, ...)
+    axis; optional shared (N, N) mask. Removes the L-1 inter-block HBM
+    round trips of the per-block megakernel. Weight panels ride pre-cast
+    to bf16 on TPU (the cast is loop-invariant, so XLA hoists it out of
+    the sampling scan).
+
+    The backward is the VJP of the composed per-block reference (this path
+    is the SAMPLING twin — gradients through it are a correctness
+    fallback, not a hot path; training uses the composed blocks or the
+    per-block backward megakernel)."""
+    out, _ = _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
+                        mask, num_heads, scale)
+    return out
+
+
+def stack_vmem_estimate(n, hdim, fdim, depth, num_heads):
+    """Approximate VMEM footprint (bytes) of the stack kernel: bf16 weights
+    resident + double-buffered panels + one head's live score blocks."""
+    wbytes = 2 * depth * (hdim * 3 * hdim + hdim * hdim + 2 * hdim * fdim)
+    panels = 4 * n * (2 * hdim + 3 * hdim + fdim) * 2
+    scores = 12 * n * n
+    return wbytes + panels + scores
+
+
+def _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
+               num_heads, scale):
+    b, n, hdim = x.shape
+    depth = wqkv.shape[0]
+    d = hdim // num_heads
+    fdim = w1.shape[-1]
+    mm_dtype = jnp.float32 if _interpret() else jnp.bfloat16
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    in_specs = [
+        pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, depth, 6, hdim), lambda i: (i, 0, 0, 0)),
+        const(depth, hdim, 3 * hdim), const(depth, 3 * hdim),
+        const(depth, hdim, hdim), const(depth, hdim),
+        const(depth, hdim, fdim), const(depth, fdim),
+        const(depth, fdim, hdim), const(depth, hdim),
+    ]
+    # biases stay f32 (XLA adds f32 biases on the composed path); weight
+    # matrices pre-cast to the matmul dtype to halve their VMEM residency
+    args = [x, mods, wqkv.astype(mm_dtype), bqkv, wout.astype(mm_dtype),
+            bout, w1.astype(mm_dtype), b1, w2.astype(mm_dtype), b2]
+    if mask is not None:
+        if mask.ndim != 2:
+            raise ValueError("fused_dit_stack supports a shared (N, N) mask")
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
+        args.append(mask[None])
+
+    kernel = functools.partial(
+        _stack_kernel_masked if mask is not None else _stack_kernel,
+        depth=depth,
+        num_heads=num_heads,
+        head_dim=d,
+        scale=d**-0.5 if scale is None else scale,
+        mm_dtype=mm_dtype,
+    )
+    vmem = min(128 * 1024 * 1024,
+               max(64 * 1024 * 1024,
+                   int(1.3 * stack_vmem_estimate(n, hdim, fdim, depth,
+                                                 num_heads))))
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hdim), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return out, (x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask)
+
+
+def _stack_bwd(num_heads, scale, res, g):
+    x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask = res
+    depth = wqkv.shape[0]
+
+    def composed(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2):
+        for li in range(depth):
+            x = dit_block_reference(
+                x, mods[:, li], wqkv[li], bqkv[li], wout[li], bout[li],
+                w1[li], b1[li], w2[li], b2[li], mask, num_heads, scale,
+            )
+        return x
+
+    _, vjp = jax.vjp(composed, x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2)
+    return tuple(vjp(g)) + (None,)
+
+
+fused_dit_stack.defvjp(_stack_fwd, _stack_bwd)
 
 
 def _bwd_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
