@@ -419,3 +419,46 @@ def test_fused_block_stack_deep_with_mask():
     gb = jax.grad(lambda p: jnp.sum(net_b.apply(p, x, t, c) ** 2))(pa)
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_cinn_fused_block_sample_mode():
+    """cINN `fused_block: sample` in vit_kwargs: the training/likelihood
+    direction is bitwise the composed path; the inverse (sampling)
+    direction rides the block-stack megakernel and matches."""
+    from vit4hep_tpu.models.calochallenge import CaloChallengeCINN
+
+    def build(fused):
+        vit_kwargs = dict(
+            dim=1, condition_dim=4, hidden_dim=32, out_channels=1, depth=2,
+            num_heads=2, mlp_ratio=2, learn_pos_embed=True, causal_attn=False,
+        )
+        if fused:
+            vit_kwargs["fused_block"] = fused
+        return CaloChallengeCINN(
+            shape=[4, 4, 2], patch_shape=[1, 2, 1], in_channels=1,
+            coupling_block="CaloRQSplineFrEIA", nblocks=2,
+            is_spatial=[False, False],
+            cinn_kwargs={"bins": 4, "min_bin_sizes": [0.001, 0.001],
+                         "default_domain": [-8.0, 8.0, -8.0, 8.0],
+                         "identity_tails": False, "domain_clamping": None},
+            vit_kwargs=vit_kwargs,
+        )
+
+    m_ref = build(False)
+    m_smp = build("sample")
+    assert m_smp.sample_net is not None and m_ref.sample_net is None
+
+    key = jax.random.PRNGKey(0)
+    params = m_ref.init_params(key)
+    assert jax.tree.structure(params) == jax.tree.structure(
+        m_smp.init_params(key))
+    x = jax.random.normal(jax.random.fold_in(key, 1), (3, 1, 4, 4, 2))
+    c = jax.random.normal(jax.random.fold_in(key, 2), (3, 4))
+
+    np.testing.assert_array_equal(
+        np.asarray(m_ref.batch_loss(params, x, c)),
+        np.asarray(m_smp.batch_loss(params, x, c)),
+    )
+    s_ref = m_ref.sample_batch(params, c, jax.random.fold_in(key, 3))
+    s_smp = m_smp.sample_batch(params, c, jax.random.fold_in(key, 3))
+    np.testing.assert_allclose(np.asarray(s_smp), np.asarray(s_ref), atol=1e-4)

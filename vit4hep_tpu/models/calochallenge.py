@@ -189,48 +189,56 @@ class CaloChallengeCINN(CINN):
         cinn_kwargs = dict(cinn_kwargs or {})
         vit_kwargs = dict(vit_kwargs)
 
-        def make_subnet(spatial):
-            def ctor(n_params):
-                # ViT1D emits out_channels * x_out * patch_dim per token
-                # (freia_utils.py:46-86): x_out = params per scalar.
-                kw = dict(vit_kwargs)
-                kw.update(
-                    x_out=n_params,
-                    patch_dim=P // 2 if spatial else P,
-                    num_patches=[list(self.num_patches)],
-                    prod_num_patches=T if spatial else T // 2,
-                )
-                return ViT1D(kw)
+        def assemble(vkw):
+            def make_subnet(spatial):
+                def ctor(n_params):
+                    # ViT1D emits out_channels * x_out * patch_dim per token
+                    # (freia_utils.py:46-86): x_out = params per scalar.
+                    kw = dict(vkw)
+                    kw.update(
+                        x_out=n_params,
+                        patch_dim=P // 2 if spatial else P,
+                        num_patches=[list(self.num_patches)],
+                        prod_num_patches=T if spatial else T // 2,
+                    )
+                    return ViT1D(kw)
 
-            return ctor
+                return ctor
 
-        def block_ctor(i):
-            spatial = bool(is_spatial[i]) if is_spatial is not None else False
-            if coupling_block == "CaloRQSplineFrEIA":
-                kw = dict(cinn_kwargs)
-                kw.setdefault("bins", 10)
-                return BinnedRQSCouplingBlock(
-                    subnet_ctor=make_subnet(spatial),
-                    spatial=spatial,
-                    **kw,
-                )
-            if coupling_block in ("CaloRQSplineNFlows", "OneSidedCaloRQSplineNFlows"):
-                return NFlowsRQSCouplingBlock(
-                    subnet_ctor=make_subnet(spatial),
-                    spatial=spatial,
-                    one_sided=coupling_block.startswith("OneSided"),
-                    **cinn_kwargs,
-                )
-            raise ValueError(f"Unknown Coupling block type {coupling_block}")
+            def block_ctor(i):
+                spatial = bool(is_spatial[i]) if is_spatial is not None else False
+                if coupling_block == "CaloRQSplineFrEIA":
+                    kw = dict(cinn_kwargs)
+                    kw.setdefault("bins", 10)
+                    return BinnedRQSCouplingBlock(
+                        subnet_ctor=make_subnet(spatial),
+                        spatial=spatial,
+                        **kw,
+                    )
+                if coupling_block in ("CaloRQSplineNFlows", "OneSidedCaloRQSplineNFlows"):
+                    return NFlowsRQSCouplingBlock(
+                        subnet_ctor=make_subnet(spatial),
+                        spatial=spatial,
+                        one_sided=coupling_block.startswith("OneSided"),
+                        **cinn_kwargs,
+                    )
+                raise ValueError(f"Unknown Coupling block type {coupling_block}")
 
-        # PermuteRandom acts on tokens (axis 1); PermuteRandomS1 on features
-        # (axis 2) for spatial blocks (freia_utils.py:31-43).
-        permutes = [
-            ((P, 2) if (is_spatial is not None and is_spatial[i]) else (T, 1))
-            for i in range(int(nblocks))
-        ]
-        self.net = _build_flow(coupling_block, int(nblocks), block_ctor, permutes,
-                               permutations=permutations)
+            # PermuteRandom acts on tokens (axis 1); PermuteRandomS1 on
+            # features (axis 2) for spatial blocks (freia_utils.py:31-43).
+            permutes = [
+                ((P, 2) if (is_spatial is not None and is_spatial[i]) else (T, 1))
+                for i in range(int(nblocks))
+            ]
+            return _build_flow(coupling_block, int(nblocks), block_ctor,
+                               permutes, permutations=permutations)
+
+        self.net = assemble(vit_kwargs)
+        if vit_kwargs.get("fused_block") == "sample":
+            # identical flow (same seed-derived permutations, same param
+            # tree) with the DiT-block-stack megakernel enabled in the
+            # subnets; used only for the inverse/sampling direction
+            self.sample_net = assemble(dict(vit_kwargs, fused_block=True))
 
     def x_shape(self, batch_size):
         return (batch_size, self.in_channels, *self.shape)

@@ -24,6 +24,11 @@ class CINN:
     def __init__(self, shape, **_ignored):
         self.shape = tuple(int(s) for s in shape)
         self.net = None  # set by subclasses via build_net()
+        # optional forward-only twin for the inverse (sampling) direction:
+        # identical param tree with the DiT-block-stack megakernel enabled
+        # in the ViT1D subnets (vit_kwargs `fused_block: sample`) — the
+        # likelihood/training direction stays on the composed path
+        self.sample_net = None
         self.in_channels = 1
         self.condition_dim = 1
 
@@ -51,7 +56,8 @@ class CINN:
         """rev=False: x -> (z, log|det J|); rev=True: z -> (x, log|det J^-1|)."""
         tokens = self.to_patches(x)
         method = "inverse" if rev else "forward"
-        z, log_jac = self.net.apply(params, tokens, c, method=method)
+        net = self.sample_net if (rev and self.sample_net is not None) else self.net
+        z, log_jac = net.apply(params, tokens, c, method=method)
         return self.from_patches(z), log_jac
 
     def log_prob(self, params, x, c):
