@@ -256,7 +256,37 @@ def bench_torch_cpu_baseline(device="cpu", batch=32, tokens=135, patch_dim=48):
     return batch / (80 * dt_per_eval)
 
 
+def _probe_device(timeout_s=240.0):
+    """Bounded liveness check: a wedged axon tunnel hangs device->host
+    fetches forever (CLAUDE.md), which would leave the driver with NO
+    json line at all. Run a tiny fetch on a watchdog thread; on timeout,
+    emit a parseable failure record and exit nonzero."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax.numpy as jnp
+
+        ok.append(float(jnp.zeros(()) + 1.0))
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not ok:
+        print(json.dumps({
+            "metric": "calochallenge_ds2_sampling_throughput",
+            "value": None,
+            "unit": "showers/sec",
+            "vs_baseline": None,
+            "error": f"device unreachable: tiny fetch hung > {timeout_s:.0f}s "
+                     "(wedged axon tunnel)",
+        }))
+        sys.exit(2)
+
+
 def main():
+    _probe_device()
     value, implied_tflops = bench_ds2()
 
     extra = {}
