@@ -88,7 +88,8 @@ def _kernel(x_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     o_ref[...] = (x + mod[:, 2:3, :] * acc).astype(o_ref.dtype)
 
 
-def _fused_forward(x, shift, scale, gate, w1, b1, w2, b2, group=16, f_chunks=1):
+def _fused_forward(x, shift, scale, gate, w1, b1, w2, b2, group=None,
+                   f_chunks=1):
     b, t, hdim = x.shape
     fdim = w1.shape[1]
     if fdim % f_chunks:
@@ -97,6 +98,13 @@ def _fused_forward(x, shift, scale, gate, w1, b1, w2, b2, group=16, f_chunks=1):
             "kernel's column chunks would silently drop the remainder"
         )
     t_pad = _round_up(t, 8)
+    if group is None:
+        # keep the (group * t_pad, F) f32 intermediate (+ bf16 casts and
+        # double-buffered x/out panels) inside the 100M budget: ~2048 rows
+        # is the measured sweet spot at ds2 (group=16 x 136 rows) and caps
+        # the footprint at longer sequences (ds3 t_pad=456 -> group 4,
+        # where group=16 exceeded scoped VMEM and failed to compile)
+        group = max(1, 2048 // t_pad)
     b_pad = _round_up(b, group)
     xp = jnp.pad(x, [(0, b_pad - b), (0, t_pad - t), (0, 0)])
     mod = jnp.stack([shift, scale, gate], axis=1)  # (B, 3, H)
