@@ -462,3 +462,25 @@ def test_cinn_fused_block_sample_mode():
     s_ref = m_ref.sample_batch(params, c, jax.random.fold_in(key, 3))
     s_smp = m_smp.sample_batch(params, c, jax.random.fold_in(key, 3))
     np.testing.assert_allclose(np.asarray(s_smp), np.asarray(s_ref), atol=1e-4)
+
+
+def test_fused_stack_escape_hatch():
+    """fused_stack: false forces per-block megakernels; output unchanged."""
+    from vit4hep_tpu.models.vit import ViT
+
+    param = dict(
+        dim=3, condition_dim=7, hidden_dim=96, out_channels=1, depth=2,
+        num_heads=2, mlp_ratio=2, learn_pos_embed=True, causal_attn=False,
+        num_patches=[[3, 2, 2]], patch_dim=6, fused_block=True,
+    )
+    net_stack = ViT(dict(param))
+    net_per_block = ViT(dict(param, fused_stack=False))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (3, 12, 6))
+    t = jax.random.uniform(jax.random.fold_in(key, 1), (3,))
+    c = jax.random.normal(jax.random.fold_in(key, 2), (3, 7))
+    p = net_stack.init(jax.random.PRNGKey(7), x, t, c)
+    np.testing.assert_allclose(
+        np.asarray(net_per_block.apply(p, x, t, c)),
+        np.asarray(net_stack.apply(p, x, t, c)), atol=1e-5,
+    )

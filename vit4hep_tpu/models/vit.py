@@ -79,6 +79,10 @@ class ViTParams:
     # 69.0 it/s ds2), while sampling gains +39-67% (BASELINE.md round 2) —
     # CFM models build a sampling-net variant via `sampling_variant()`.
     fused_block: bool | str = False
+    # escape hatch: with fused_block active, false forces one megakernel
+    # PER BLOCK instead of the whole-stack kernel (e.g. if Mosaic's compile
+    # time or VMEM behavior regresses at a new depth/width)
+    fused_stack: bool = True
     # TPU-specific: zero-pad head_dim up to the 128-lane tile inside the QKV /
     # out-projection kernels (bit-exact: padded q/k dims contribute 0 to the
     # logits, padded v columns are dropped by zero rows of the out kernel).
@@ -473,7 +477,7 @@ class _ViTBase(nn.Module):
             )(c_act)
             mods.append(mod.reshape(b, 6, p.hidden_dim))
             weights.append(ws)
-        if stack_vmem_estimate(
+        if not p.fused_stack or stack_vmem_estimate(
             n, p.hidden_dim, mlp_hidden, p.depth, p.num_heads
         ) > 120 * 1024 * 1024:
             from vit4hep_tpu.ops.fused_dit_block import fused_dit_block
