@@ -256,11 +256,15 @@ def bench_torch_cpu_baseline(device="cpu", batch=32, tokens=135, patch_dim=48):
     return batch / (80 * dt_per_eval)
 
 
-def _probe_device(timeout_s=240.0):
+def _probe_device(timeout_s=420.0):
     """Bounded liveness check: a wedged axon tunnel hangs device->host
     fetches forever (CLAUDE.md), which would leave the driver with NO
     json line at all. Run a tiny fetch on a watchdog thread; on timeout,
-    emit a parseable failure record and exit nonzero."""
+    emit a parseable failure record and hard-exit. The timeout leaves
+    margin over the measured healthy first-fetch backlog (80-240 s), and
+    the exit is os._exit after an explicit flush — sys.exit would run
+    JAX/PJRT atexit teardown, which itself hangs on the wedged device
+    before block-buffered stdout ever reaches the driver."""
     import threading
 
     ok = []
@@ -282,7 +286,9 @@ def _probe_device(timeout_s=240.0):
             "error": f"device unreachable: tiny fetch hung > {timeout_s:.0f}s "
                      "(wedged axon tunnel)",
         }))
-        sys.exit(2)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(2)
 
 
 def main():

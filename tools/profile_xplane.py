@@ -75,7 +75,15 @@ def summarize(trace_dir, top_k=25):
                 if device_only and not is_device:
                     continue
                 ev_names = plane.event_metadata
-                for line in plane.lines:
+                # a device plane carries nested lines (XLA Modules contain
+                # XLA Ops contain fusions); summing every line multi-counts
+                # the same device time. Take only the op-level line — the
+                # "XLA Ops" line when named, else the line with the most
+                # events (the deepest level).
+                lines = [ln for ln in plane.lines if "op" in ln.name.lower()]
+                if not lines and plane.lines:
+                    lines = [max(plane.lines, key=lambda ln: len(ln.events))]
+                for line in lines:
                     for ev in line.events:
                         meta = ev_names.get(ev.metadata_id)
                         name = meta.name if meta is not None else f"op_{ev.metadata_id}"

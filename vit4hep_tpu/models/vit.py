@@ -121,11 +121,14 @@ class ViTParams:
             kwargs["num_patches"] = _normalize_num_patches(kwargs["num_patches"])
         if "mlp_ratio" in kwargs:
             kwargs["mlp_ratio"] = float(kwargs["mlp_ratio"])
-        if kwargs.get("fused_block", False) not in (False, True, "sample"):
+        fb = kwargs.get("fused_block", False)
+        # strict: every gate uses `is True` / == "sample", so YAML ints
+        # (fused_block: 1) must be rejected, not let 1 == True slip through
+        if not (isinstance(fb, bool) or fb == "sample"):
             raise ValueError(
                 f"fused_block must be true, false, or 'sample' — got "
-                f"{kwargs['fused_block']!r} (a typo here would silently "
-                "disable the megakernel)"
+                f"{fb!r} (anything else would silently disable the "
+                "megakernel)"
             )
         return cls(**kwargs)
 
@@ -477,9 +480,12 @@ class _ViTBase(nn.Module):
             )(c_act)
             mods.append(mod.reshape(b, 6, p.hidden_dim))
             weights.append(ws)
+        # fall back when the kernel's own 1.3x-margined VMEM request would
+        # hit the 128M cap (128/1.3 ~ 98M) — past that, the stack compiles
+        # with less headroom than its sizing model demands
         if not p.fused_stack or stack_vmem_estimate(
             n, p.hidden_dim, mlp_hidden, p.depth, p.num_heads
-        ) > 120 * 1024 * 1024:
+        ) > 98 * 1024 * 1024:
             from vit4hep_tpu.ops.fused_dit_block import fused_dit_block
 
             head_scale = float(p.hidden_dim // p.num_heads) ** -0.5

@@ -155,10 +155,10 @@ def fused_dit_stack(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
     to bf16 on TPU (the cast is loop-invariant, so XLA hoists it out of
     the sampling scan).
 
-    The backward is the VJP of the composed per-block reference (this path
-    is the SAMPLING twin — gradients through it are a correctness
-    fallback, not a hot path; training uses the composed blocks or the
-    per-block backward megakernel)."""
+    The backward recomputes each block's input with the per-block forward
+    megakernel and then runs the backward megakernel per block in reverse —
+    fully Pallas, no composed fallback — so `fused_block: true` trains on
+    the kernels end to end."""
     out, _ = _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
                         mask, num_heads, scale)
     return out
@@ -228,19 +228,34 @@ def _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
 
 
 def _stack_bwd(num_heads, scale, res, g):
+    """All-Pallas stack backward: recompute each block's input with the
+    per-block forward megakernel (L-1 extra forwards), then run the
+    backward megakernel per block in reverse — so `fused_block: true`
+    training never touches the composed path."""
     x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask = res
     depth = wqkv.shape[0]
 
-    def composed(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2):
-        for li in range(depth):
-            x = dit_block_reference(
-                x, mods[:, li], wqkv[li], bqkv[li], wout[li], bout[li],
-                w1[li], b1[li], w2[li], b2[li], mask, num_heads, scale,
-            )
-        return x
+    def block_ws(li):
+        return (wqkv[li], bqkv[li], wout[li], bout[li], w1[li], b1[li],
+                w2[li], b2[li])
 
-    _, vjp = jax.vjp(composed, x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2)
-    return tuple(vjp(g)) + (None,)
+    xs = [x]
+    for li in range(depth - 1):
+        xs.append(fused_dit_block(xs[-1], mods[:, li], *block_ws(li), mask,
+                                  num_heads, scale))
+
+    dx = g
+    dmods = [None] * depth
+    dws = [[None] * depth for _ in range(8)]
+    for li in reversed(range(depth)):
+        grads = fused_dit_block_bwd(
+            xs[li], mods[:, li], *block_ws(li), dx, mask, num_heads, scale
+        )
+        dx, dmods[li] = grads[0], grads[1]
+        for wi in range(8):
+            dws[wi][li] = grads[2 + wi]
+    return (dx, jnp.stack(dmods, axis=1),
+            *[jnp.stack(dw) for dw in dws], None)
 
 
 fused_dit_stack.defvjp(_stack_fwd, _stack_bwd)

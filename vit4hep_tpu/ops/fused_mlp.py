@@ -100,11 +100,12 @@ def _fused_forward(x, shift, scale, gate, w1, b1, w2, b2, group=None,
     t_pad = _round_up(t, 8)
     if group is None:
         # keep the (group * t_pad, F) f32 intermediate (+ bf16 casts and
-        # double-buffered x/out panels) inside the 100M budget: ~2048 rows
-        # is the measured sweet spot at ds2 (group=16 x 136 rows) and caps
-        # the footprint at longer sequences (ds3 t_pad=456 -> group 4,
-        # where group=16 exceeded scoped VMEM and failed to compile)
-        group = max(1, 2048 // t_pad)
+        # double-buffered x/out panels) inside the 100M budget: 2176 rows
+        # is the measured sweet spot at ds2 (group=16 x t_pad=136, padding
+        # nothing at batch 256) and caps the footprint at longer sequences
+        # (ds3 t_pad=456 -> group 4, where group=16 exceeded scoped VMEM
+        # and failed to compile)
+        group = max(1, 2176 // t_pad)
     b_pad = _round_up(b, group)
     xp = jnp.pad(x, [(0, b_pad - b), (0, t_pad - t), (0, 0)])
     mod = jnp.stack([shift, scale, gate], axis=1)  # (B, 3, H)
