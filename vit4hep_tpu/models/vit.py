@@ -160,16 +160,17 @@ class MlpBlock(nn.Module):
 
 
 class _DenseParams(nn.Module):
-    """Parameter-only stand-in for nn.Dense (same param names/shapes), used by
-    the fused MLP path so checkpoints stay interchangeable with the unfused
-    layout."""
+    """Parameter-only stand-in for nn.Dense (same param names/shapes/inits),
+    used by the fused kernel paths so checkpoints stay interchangeable with
+    the unfused layout."""
 
     in_dim: int
     out_dim: int
+    kernel_init: Any = xavier
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", xavier, (self.in_dim, self.out_dim))
+        kernel = self.param("kernel", self.kernel_init, (self.in_dim, self.out_dim))
         bias = self.param("bias", zeros, (self.out_dim,))
         return kernel, bias
 
@@ -305,6 +306,28 @@ class _BlockParams(nn.Module):
             self.hidden, self.mlp_hidden, name="MlpBlock_0"
         )()
         return mod, (wq, bq, wo, bo, w1, b1, w2, b2)
+
+
+class _FinalParams(nn.Module):
+    """Parameter-only stand-in for FinalLayer (adaLN_modulation Dense +
+    zero-init Dense_0), used by the whole-ViT kernel path. The adaLN Dense
+    is applied here (it consumes the conditioning); the zero-init output
+    projection feeds the kernel."""
+
+    hidden: int
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c):
+        mod = nn.Dense(
+            2 * self.hidden, kernel_init=zeros, bias_init=zeros,
+            dtype=self.dtype, name="adaLN_modulation",
+        )(nn.silu(c))
+        wf, bf = _DenseParams(
+            self.hidden, self.out_dim, kernel_init=zeros, name="Dense_0"
+        )()
+        return mod, wf, bf
 
 
 class DiTBlock(nn.Module):
@@ -520,10 +543,6 @@ class ViTNet(_ViTBase):
                 name="x_mapper",
             )(x)
             x = nn.silu(x)
-        x = nn.Dense(
-            p.hidden_dim, kernel_init=xavier, bias_init=zeros, dtype=dt, name="x_embedder"
-        )(x)
-        x = x + self._pos_embedding_3d().astype(dt)
 
         t_emb = TimestepEmbedder(p.hidden_dim, dtype=dt, name="t_embedder")(t)
         c = c.astype(dt)
@@ -536,12 +555,66 @@ class ViTNet(_ViTBase):
         c_emb = ConditionEmbedder(p.hidden_dim, dtype=dt, name="c_embedder")(c)
         cond = t_emb + c_emb
 
-        x = self._blocks(x, cond, self._attn_mask())
+        mask = self._attn_mask()
         out_patch = p.out_patch_dim if p.out_patch_dim is not None else p.patch_dim
+        out_dim = p.out_channels * 1 * out_patch
+        if (
+            p.fused_block is True
+            and p.fused_stack
+            and not p.pad_attn_heads
+            and (mask is None or mask.ndim == 2)
+        ):
+            out = self._fused_vit(x, cond, mask, out_dim)
+            if out is not None:
+                return out.astype(jnp.float32)
+
+        x = nn.Dense(
+            p.hidden_dim, kernel_init=xavier, bias_init=zeros, dtype=dt, name="x_embedder"
+        )(x)
+        x = x + self._pos_embedding_3d().astype(dt)
+        x = self._blocks(x, cond, mask)
         out = FinalLayer(
-            p.hidden_dim, p.out_channels * 1 * out_patch, dtype=dt, name="final_layer"
+            p.hidden_dim, out_dim, dtype=dt, name="final_layer"
         )(x, cond)
         return out.astype(jnp.float32)
+
+    def _fused_vit(self, tokens, cond, mask, out_dim):
+        """Embedder + pos-embed + every block + FinalLayer as ONE Pallas
+        kernel per batch element (ops/fused_dit_block.py:fused_vit_forward):
+        per net eval, HBM sees one read of the token panel and one write of
+        the prediction. Param tree identical to the composed modules.
+        Returns None (caller falls back) when the VMEM estimate exceeds the
+        budget."""
+        from vit4hep_tpu.ops.fused_dit_block import (
+            fused_vit_forward, stack_vmem_estimate)
+
+        p = self.cfg
+        b, n, pdim = tokens.shape
+        mlp_hidden = int(p.hidden_dim * p.mlp_ratio)
+        if stack_vmem_estimate(
+            n, p.hidden_dim, mlp_hidden, p.depth, p.num_heads
+        ) > 98 * 1024 * 1024:
+            return None
+        wemb, bemb = _DenseParams(pdim, p.hidden_dim, name="x_embedder")()
+        pos = self._pos_embedding_3d().astype(jnp.float32)
+        c_act = nn.silu(cond)
+        mods, weights = [], []
+        for i in range(p.depth):
+            mod, ws = _BlockParams(
+                p.hidden_dim, mlp_hidden, dtype=p.dtype, name=f"block_{i}"
+            )(c_act)
+            mods.append(mod.reshape(b, 6, p.hidden_dim))
+            weights.append(ws)
+        fmod, wfin, bfin = _FinalParams(
+            p.hidden_dim, out_dim, dtype=p.dtype, name="final_layer"
+        )(cond)
+        stacked = [jnp.stack(arrs) for arrs in zip(*weights)]
+        return fused_vit_forward(
+            tokens.astype(jnp.float32), pos, jnp.stack(mods, axis=1),
+            fmod.reshape(b, 2, p.hidden_dim), wemb, bemb, *stacked,
+            wfin, bfin, mask, p.num_heads,
+            float(p.hidden_dim // p.num_heads) ** -0.5,
+        )
 
 
 class ViT1DNet(_ViTBase):

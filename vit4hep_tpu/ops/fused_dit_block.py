@@ -472,6 +472,195 @@ def fused_dit_block_bwd(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
             cast(db2, b2))
 
 
+def _vit_kernel_masked(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref,
+                       bemb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                       w1_ref, b1_ref, w2_ref, b2_ref, wfin_ref, bfin_ref,
+                       mask_ref, o_ref, *, depth, num_heads, head_dim, scale,
+                       mm_dtype):
+    """The whole ViT forward on one VMEM-resident panel: patch embedding +
+    positional add, all blocks, and the FinalLayer (LN + adaLN modulate +
+    zero-init projection). Per eval, HBM sees one read of the (N, P)
+    tokens and one write of the (N, OUT) prediction — nothing else."""
+
+    def mm(a, w, dims=((1,), (0,))):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), w.astype(mm_dtype), (dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    tok = tok_ref[0].astype(jnp.float32)  # (N, P)
+    x = mm(tok, wemb_ref[...]) + bemb_ref[...][None, :].astype(jnp.float32)
+    x = x + pos_ref[...].astype(jnp.float32)
+    mask = mask_ref[0] if mask_ref is not None else None
+    for li in range(depth):
+        x = _block_body(
+            x, mods_ref[0, li].astype(jnp.float32),
+            wqkv_ref[li], bqkv_ref[li], wout_ref[li], bout_ref[li],
+            w1_ref[li], b1_ref[li], w2_ref[li], b2_ref[li], mask,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            mm_dtype=mm_dtype,
+        )
+    fm = fmod_ref[0].astype(jnp.float32)  # (2, H)
+    u = _ln(x) * (1.0 + fm[1:2]) + fm[0:1]
+    out = mm(u, wfin_ref[...]) + bfin_ref[...][None, :].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _vit_kernel(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref, bemb_ref,
+                wqkv_ref, bqkv_ref, wout_ref, bout_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, wfin_ref, bfin_ref, o_ref, **kw):
+    _vit_kernel_masked(
+        tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref, bemb_ref,
+        wqkv_ref, bqkv_ref, wout_ref, bout_ref, w1_ref, b1_ref, w2_ref,
+        b2_ref, wfin_ref, bfin_ref, None, o_ref, **kw
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18))
+def fused_vit_forward(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
+                      bout, w1, b1, w2, b2, wfin, bfin, mask, num_heads,
+                      scale):
+    """Whole-ViT sampler forward as ONE Pallas kernel per batch element.
+
+    tokens (B, N, P); pos (N, H); mods (B, L, 6, H); fmod (B, 2, H)
+    [shift, scale]; wemb (P, H); block weights stacked (L, ...); wfin
+    (H, OUT). Returns (B, N, OUT). The backward is the VJP of the
+    composed jnp reference — this is the SAMPLING path, gradients through
+    it are a correctness fallback, not a hot path."""
+    out, _ = _vit_fwd(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv,
+                      wout, bout, w1, b1, w2, b2, wfin, bfin, mask,
+                      num_heads, scale)
+    return out
+
+
+def _vit_fwd(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout, bout,
+             w1, b1, w2, b2, wfin, bfin, mask, num_heads, scale):
+    b, n, pdim = tokens.shape
+    hdim = wemb.shape[1]
+    depth = wqkv.shape[0]
+    d = hdim // num_heads
+    fdim = w1.shape[-1]
+    out_dim = wfin.shape[1]
+    mm_dtype = jnp.float32 if _interpret() else jnp.bfloat16
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    in_specs = [
+        pl.BlockSpec((1, n, pdim), lambda i: (i, 0, 0)),
+        const(n, hdim),
+        pl.BlockSpec((1, depth, 6, hdim), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, 2, hdim), lambda i: (i, 0, 0)),
+        const(pdim, hdim), const(hdim,),
+        const(depth, hdim, 3 * hdim), const(depth, 3 * hdim),
+        const(depth, hdim, hdim), const(depth, hdim),
+        const(depth, hdim, fdim), const(depth, fdim),
+        const(depth, fdim, hdim), const(depth, hdim),
+        const(hdim, out_dim), const(out_dim,),
+    ]
+    args = [tokens, pos, mods, fmod,
+            wemb.astype(mm_dtype), bemb,
+            wqkv.astype(mm_dtype), bqkv, wout.astype(mm_dtype), bout,
+            w1.astype(mm_dtype), b1, w2.astype(mm_dtype), b2,
+            wfin.astype(mm_dtype), bfin]
+    if mask is not None:
+        if mask.ndim != 2:
+            raise ValueError("fused_vit_forward supports a shared (N, N) mask")
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
+        args.append(mask[None])
+
+    kernel = functools.partial(
+        _vit_kernel_masked if mask is not None else _vit_kernel,
+        depth=depth,
+        num_heads=num_heads,
+        head_dim=d,
+        scale=d**-0.5 if scale is None else scale,
+        mm_dtype=mm_dtype,
+    )
+    vmem = min(
+        128 * 1024 * 1024,
+        max(64 * 1024 * 1024,
+            int(1.3 * (stack_vmem_estimate(n, hdim, fdim, depth, num_heads)
+                       + 2 * (pdim * hdim + hdim * out_dim)
+                       + 4 * n * (hdim + pdim + out_dim)))),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n, out_dim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_dim), tokens.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return out, (tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
+                 bout, w1, b1, w2, b2, wfin, bfin, mask)
+
+
+def vit_forward_reference(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv,
+                          wout, bout, w1, b1, w2, b2, wfin, bfin, mask,
+                          num_heads, scale):
+    """Composed jnp equivalent of the whole-ViT kernel (test oracle + the
+    kernel's backward)."""
+    x = tokens.astype(jnp.float32) @ wemb + bemb + pos
+    for li in range(wqkv.shape[0]):
+        x = dit_block_reference(
+            x, mods[:, li], wqkv[li], bqkv[li], wout[li], bout[li],
+            w1[li], b1[li], w2[li], b2[li], mask, num_heads, scale,
+        )
+    fm = fmod.astype(jnp.float32)
+    u = _ln(x) * (1.0 + fm[:, 1:2]) + fm[:, 0:1]
+    return u @ wfin + bfin
+
+
+def _vit_bwd(num_heads, scale, res, g):
+    """Kernel-path backward: jnp VJPs for the (tiny) embedder and final
+    layer, per-block forward megakernels to recompute the block inputs,
+    and the backward megakernel per block in reverse — the block math
+    (the FLOPs) never touches the composed path."""
+    (tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout, bout, w1, b1,
+     w2, b2, wfin, bfin, mask) = res
+    depth = wqkv.shape[0]
+
+    def block_ws(li):
+        return (wqkv[li], bqkv[li], wout[li], bout[li], w1[li], b1[li],
+                w2[li], b2[li])
+
+    def embed(tokens, wemb, bemb, pos):
+        return tokens.astype(jnp.float32) @ wemb + bemb + pos
+
+    x0, embed_vjp = jax.vjp(embed, tokens, wemb, bemb, pos)
+    xs = [x0]
+    for li in range(depth):
+        xs.append(fused_dit_block(xs[-1], mods[:, li], *block_ws(li), mask,
+                                  num_heads, scale))
+
+    def final(xl, fmod, wfin, bfin):
+        fm = fmod.astype(jnp.float32)
+        u = _ln(xl) * (1.0 + fm[:, 1:2]) + fm[:, 0:1]
+        return u @ wfin + bfin
+
+    _, final_vjp = jax.vjp(final, xs[depth], fmod, wfin, bfin)
+    dx, dfmod, dwfin, dbfin = final_vjp(g)
+
+    dmods = [None] * depth
+    dws = [[None] * depth for _ in range(8)]
+    for li in reversed(range(depth)):
+        grads = fused_dit_block_bwd(
+            xs[li], mods[:, li], *block_ws(li), dx, mask, num_heads, scale
+        )
+        dx, dmods[li] = grads[0], grads[1]
+        for wi in range(8):
+            dws[wi][li] = grads[2 + wi]
+    dtokens, dwemb, dbemb, dpos = embed_vjp(dx)
+    return (dtokens, dpos, jnp.stack(dmods, axis=1), dfmod, dwemb, dbemb,
+            *[jnp.stack(dw) for dw in dws], dwfin, dbfin, None)
+
+
+fused_vit_forward.defvjp(_vit_fwd, _vit_bwd)
+
+
 def dit_block_reference(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
                         mask, num_heads, scale):
     """Composed reference with identical math; attention rides the fused
