@@ -525,6 +525,45 @@ class _ViTBase(nn.Module):
         )
 
 
+    def _fused_vit(self, tokens, cond, mask, out_dim, pos):
+        """Embedder + pos-embed + every block + FinalLayer as ONE Pallas
+        kernel per batch element (ops/fused_dit_block.py:fused_vit_forward):
+        per net eval, HBM sees one read of the token panel and one write of
+        the prediction. Param tree identical to the composed modules.
+        Returns None (caller falls back) when the VMEM estimate exceeds the
+        budget."""
+        from vit4hep_tpu.ops.fused_dit_block import (
+            fused_vit_forward, stack_vmem_estimate)
+
+        p = self.cfg
+        b, n, pdim = tokens.shape
+        mlp_hidden = int(p.hidden_dim * p.mlp_ratio)
+        if stack_vmem_estimate(
+            n, p.hidden_dim, mlp_hidden, p.depth, p.num_heads
+        ) > 98 * 1024 * 1024:
+            return None
+        wemb, bemb = _DenseParams(pdim, p.hidden_dim, name="x_embedder")()
+        pos = pos.astype(jnp.float32)
+        c_act = nn.silu(cond)
+        mods, weights = [], []
+        for i in range(p.depth):
+            mod, ws = _BlockParams(
+                p.hidden_dim, mlp_hidden, dtype=p.dtype, name=f"block_{i}"
+            )(c_act)
+            mods.append(mod.reshape(b, 6, p.hidden_dim))
+            weights.append(ws)
+        fmod, wfin, bfin = _FinalParams(
+            p.hidden_dim, out_dim, dtype=p.dtype, name="final_layer"
+        )(cond)
+        stacked = [jnp.stack(arrs) for arrs in zip(*weights)]
+        return fused_vit_forward(
+            tokens.astype(jnp.float32), pos, jnp.stack(mods, axis=1),
+            fmod.reshape(b, 2, p.hidden_dim), wemb, bemb, *stacked,
+            wfin, bfin, mask, p.num_heads,
+            float(p.hidden_dim // p.num_heads) ** -0.5,
+        )
+
+
 class ViTNet(_ViTBase):
     """3-D voxel-patch DiT predicting the CFM velocity per patch.
 
@@ -564,7 +603,7 @@ class ViTNet(_ViTBase):
             and not p.pad_attn_heads
             and (mask is None or mask.ndim == 2)
         ):
-            out = self._fused_vit(x, cond, mask, out_dim)
+            out = self._fused_vit(x, cond, mask, out_dim, self._pos_embedding_3d())
             if out is not None:
                 return out.astype(jnp.float32)
 
@@ -578,45 +617,6 @@ class ViTNet(_ViTBase):
         )(x, cond)
         return out.astype(jnp.float32)
 
-    def _fused_vit(self, tokens, cond, mask, out_dim):
-        """Embedder + pos-embed + every block + FinalLayer as ONE Pallas
-        kernel per batch element (ops/fused_dit_block.py:fused_vit_forward):
-        per net eval, HBM sees one read of the token panel and one write of
-        the prediction. Param tree identical to the composed modules.
-        Returns None (caller falls back) when the VMEM estimate exceeds the
-        budget."""
-        from vit4hep_tpu.ops.fused_dit_block import (
-            fused_vit_forward, stack_vmem_estimate)
-
-        p = self.cfg
-        b, n, pdim = tokens.shape
-        mlp_hidden = int(p.hidden_dim * p.mlp_ratio)
-        if stack_vmem_estimate(
-            n, p.hidden_dim, mlp_hidden, p.depth, p.num_heads
-        ) > 98 * 1024 * 1024:
-            return None
-        wemb, bemb = _DenseParams(pdim, p.hidden_dim, name="x_embedder")()
-        pos = self._pos_embedding_3d().astype(jnp.float32)
-        c_act = nn.silu(cond)
-        mods, weights = [], []
-        for i in range(p.depth):
-            mod, ws = _BlockParams(
-                p.hidden_dim, mlp_hidden, dtype=p.dtype, name=f"block_{i}"
-            )(c_act)
-            mods.append(mod.reshape(b, 6, p.hidden_dim))
-            weights.append(ws)
-        fmod, wfin, bfin = _FinalParams(
-            p.hidden_dim, out_dim, dtype=p.dtype, name="final_layer"
-        )(cond)
-        stacked = [jnp.stack(arrs) for arrs in zip(*weights)]
-        return fused_vit_forward(
-            tokens.astype(jnp.float32), pos, jnp.stack(mods, axis=1),
-            fmod.reshape(b, 2, p.hidden_dim), wemb, bemb, *stacked,
-            wfin, bfin, mask, p.num_heads,
-            float(p.hidden_dim // p.num_heads) ** -0.5,
-        )
-
-
 class ViT1DNet(_ViTBase):
     """ViT with 1-D positional embedding and no time input; the coupling-subnet
     backbone of the cINN stack (reference nn/vit.py:209-299).
@@ -625,32 +625,47 @@ class ViT1DNet(_ViTBase):
     -> (B, T, out_channels * x_out * patch_dim).
     """
 
-    @nn.compact
-    def __call__(self, x, c):
+    def _pos_embedding_1d(self):
         p = self.cfg
-        dt = p.dtype
-        x = nn.Dense(
-            p.hidden_dim, kernel_init=xavier, bias_init=zeros, dtype=dt, name="x_embedder"
-        )(x.astype(dt))
         if p.learn_pos_embed:
             freqs = self.param(
                 "pos_embed_freqs", nn.initializers.normal(1.0), (p.hidden_dim // 2,)
             )
             grid = jnp.arange(p.prod_num_patches) / p.prod_num_patches
-            pos = pe_ops.learnable_fourier_pos_embed_1d(freqs, grid)
-        else:
-            pos = jnp.asarray(
-                pe_ops.get_sincos_pos_embed(
-                    p.pos_embedding_coords, p.num_patches[0], p.hidden_dim, p.dim, p.temperature
-                )
+            return pe_ops.learnable_fourier_pos_embed_1d(freqs, grid)
+        return jnp.asarray(
+            pe_ops.get_sincos_pos_embed(
+                p.pos_embedding_coords, p.num_patches[0], p.hidden_dim, p.dim, p.temperature
             )
-        x = x + pos.astype(dt)
+        )
 
+    @nn.compact
+    def __call__(self, x, c):
+        p = self.cfg
+        dt = p.dtype
         cond = ConditionEmbedder(p.hidden_dim, dtype=dt, name="c_embedder")(c.astype(dt))
-        x = self._blocks(x, cond, self._attn_mask())
+        mask = self._attn_mask()
         x_out = p.x_out if p.x_out is not None else 1
+        out_dim = p.out_channels * x_out * p.patch_dim
+        if (
+            p.fused_block is True
+            and p.fused_stack
+            and not p.pad_attn_heads
+            and (mask is None or mask.ndim == 2)
+        ):
+            out = self._fused_vit(
+                x.astype(dt), cond, mask, out_dim, self._pos_embedding_1d()
+            )
+            if out is not None:
+                return out.astype(jnp.float32)
+
+        x = nn.Dense(
+            p.hidden_dim, kernel_init=xavier, bias_init=zeros, dtype=dt, name="x_embedder"
+        )(x.astype(dt))
+        x = x + self._pos_embedding_1d().astype(dt)
+        x = self._blocks(x, cond, mask)
         out = FinalLayer(
-            p.hidden_dim, p.out_channels * x_out * p.patch_dim, dtype=dt, name="final_layer"
+            p.hidden_dim, out_dim, dtype=dt, name="final_layer"
         )(x, cond)
         return out.astype(jnp.float32)
 
