@@ -8,6 +8,8 @@ them (VERDICT round 1, weak #1):
 - ``ds3_sampling_showers_s``  — ds3 sampling (450 tokens x patch_dim 90)
 - ``ds2_train_it_s``          — full ds2 train step (batch 64): loss + grad
                                 hygiene + AdamW + EMA, state donated
+- ``ds3_train_it_s``          — full ds3 train step (batch 16)
+- ``ds1_sampling_showers_s``  — ds1 photons (5 sections, 88 tokens x patch_dim 5)
 - ``cinn_ds2_showers_s``      — one jitted inverse pass through the 20-block
                                 RQS flow (cinn_ds2_electrons.yaml)
 - ``energy_u_vec_s``          — energy-model (ParallelTransformer CFM) sampling
@@ -53,6 +55,8 @@ ROUND1 = {
     "ds2_sampling_showers_s": 182.4,
     "ds3_sampling_showers_s": 38.7,
     "ds2_train_it_s": 55.9,
+    "ds3_train_it_s": 54.7,        # round-1 xla path, same-session A/B
+    "ds1_sampling_showers_s": 414.6,
     "cinn_ds2_showers_s": 90.5,
     "energy_u_vec_s": 2467.0,
 }
@@ -60,7 +64,7 @@ ROUND1 = {
 # skip remaining secondary metrics once this much wall time is spent: a
 # degraded tunnel must not starve the driver's per-round record of the
 # headline metric (the JSON line still records every key, null if skipped)
-EXTRA_TIME_BUDGET_S = 780.0
+EXTRA_TIME_BUDGET_S = 1320.0  # 6 extras x (compile + timed iters) on a healthy tunnel
 
 
 def _model_from_yaml(rel_path: str):
@@ -124,6 +128,13 @@ def bench_ds3() -> float:
     return _timed_sampler(model, cond_dim=46, n_iters=4)
 
 
+def bench_ds1() -> float:
+    """ds1 photons: 5 detector sections, 88 multi-section tokens x patch_dim 5
+    (reference configs/model/cfm/cfm_ds1_photons.yaml)."""
+    model = _model_from_yaml("model/cfm/cfm_ds1_photons.yaml")
+    return _timed_sampler(model, cond_dim=6, n_iters=8)
+
+
 def bench_cinn_ds2() -> float:
     model = _model_from_yaml("model/cinn/cinn_ds2_electrons.yaml")
     return _timed_sampler(model, cond_dim=46, n_iters=4)
@@ -138,12 +149,25 @@ def bench_train_ds2(batch=64, inner=20, n_iters=3) -> float:
     """Full ds2 train-step throughput (it/s): `inner` donated steps scanned
     inside ONE jitted program, so per-dispatch tunnel overhead (~28 ms) does
     not bound the measurement (BASELINE.md round-1 finding)."""
+    return _timed_train("model/cfm/cfm_ds2_electrons.yaml",
+                        shape=(1, 45, 16, 9), batch=batch,
+                        inner=inner, n_iters=n_iters)
+
+
+def bench_train_ds3(batch=16, inner=20, n_iters=3) -> float:
+    """Full ds3 train-step throughput (it/s), batch 16 (BASELINE.md)."""
+    return _timed_train("model/cfm/cfm_ds3_electrons.yaml",
+                        shape=(1, 45, 50, 18), batch=batch,
+                        inner=inner, n_iters=n_iters)
+
+
+def _timed_train(yaml_rel, shape, batch, inner=20, n_iters=3) -> float:
     import jax
     import jax.numpy as jnp
 
     from vit4hep_tpu.experiments import train_state as ts
 
-    model = _model_from_yaml("model/cfm/cfm_ds2_electrons.yaml")
+    model = _model_from_yaml(yaml_rel)
     params = model.init_params(jax.random.PRNGKey(0))
 
     class TCfg(dict):
@@ -159,7 +183,7 @@ def bench_train_ds2(batch=64, inner=20, n_iters=3) -> float:
         ema_decay=0.9999,
     )
     x = jnp.asarray(np.random.default_rng(0).normal(
-        size=(batch, 1, 45, 16, 9)).astype(np.float32))
+        size=(batch,) + shape).astype(np.float32))
     c = jnp.asarray(np.random.default_rng(1).normal(
         size=(batch, 46)).astype(np.float32))
 
@@ -299,6 +323,8 @@ def main():
     extra_specs = [
         ("ds3_sampling_showers_s", bench_ds3, "showers/sec"),
         ("ds2_train_it_s", bench_train_ds2, "it/sec (batch 64)"),
+        ("ds3_train_it_s", bench_train_ds3, "it/sec (batch 16)"),
+        ("ds1_sampling_showers_s", bench_ds1, "showers/sec"),
         ("cinn_ds2_showers_s", bench_cinn_ds2, "showers/sec"),
         ("energy_u_vec_s", bench_energy, "u-vectors/sec"),
     ]

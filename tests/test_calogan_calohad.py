@@ -52,6 +52,7 @@ def test_gan_pipeline_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(d["layer_1"], orig["layer_1"], rtol=5e-2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_calogan_dataset_and_model(tmp_path, rng):
     from vit4hep_tpu.data.calogan.datasets import CaloGANDataset
     from vit4hep_tpu.models.calogan import CaloGANCFM
@@ -200,6 +201,7 @@ def _exp_base(tmp_path, exp_name, run_name):
     }
 
 
+@pytest.mark.slow
 def test_calogan_experiment_e2e(tmp_path, rng):
     from vit4hep_tpu.experiments.calogan import CaloGAN
     from vit4hep_tpu.utils.config import Config
@@ -247,6 +249,7 @@ def test_calogan_experiment_e2e(tmp_path, rng):
     assert conds.shape == (64, 4)
 
 
+@pytest.mark.slow
 def test_calohadronic_experiment_e2e(tmp_path, rng):
     from vit4hep_tpu.experiments.calohadronic import CaloHadronic
     from vit4hep_tpu.utils.config import Config
@@ -303,6 +306,7 @@ def test_calohadronic_experiment_e2e(tmp_path, rng):
     assert samples.shape[0] == 48 and np.isfinite(samples).all()
 
 
+@pytest.mark.slow
 def test_calogan_finetune_e2e(tmp_path, rng):
     """CaloGANFTCFM: backbone trained on patch_dim-6 patching, fine-tuned onto
     a patch_dim-12 patching of the same 504-voxel geometry (mapper surgery +

@@ -9,6 +9,8 @@ import pytest
 
 from vit4hep_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow  # full e2e drive; run in snapshot/full suites
+
 N_US = 3  # u_0 plus u_1, u_2 for the 3-layer CaloGAN geometry
 
 

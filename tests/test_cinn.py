@@ -167,6 +167,7 @@ def test_shape_cinn_forward_inverse(rng):
     np.testing.assert_allclose(np.asarray(ld), -np.asarray(ld_inv), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_shape_cinn_loss_and_sampling(rng):
     model = _tiny_shape_cinn()
     params = model.init_params(jax.random.PRNGKey(1))
@@ -181,6 +182,7 @@ def test_shape_cinn_loss_and_sampling(rng):
     assert np.isfinite(np.asarray(sample)).all()
 
 
+@pytest.mark.slow
 def test_energy_cinn_end_to_end(rng):
     from vit4hep_tpu.models.calochallenge import CaloChallengeEnergyCINN
 

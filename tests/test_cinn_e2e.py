@@ -8,6 +8,8 @@ import pytest
 from tests.conftest import make_binning_xml, make_shower_hdf5
 from vit4hep_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow  # full e2e drive; run in snapshot/full suites
+
 
 @pytest.fixture
 def regular_geometry(tmp_path):

@@ -28,6 +28,7 @@ def _lemurs_events(n, rng):
     return ev
 
 
+@pytest.mark.slow
 def test_lemurs_run_from_py_hist(tmp_path, rng):
     from vit4hep_tpu.evaluation.lemurs import run_from_py
 

@@ -144,6 +144,7 @@ def test_dnn_classifier_separates(rng):
     assert 0.35 < auc < 0.65
 
 
+@pytest.mark.slow
 def test_resnet3d_forward(rng):
     import jax
 

@@ -9,6 +9,8 @@ import pytest
 from vit4hep_tpu.experiments.calochallenge import CaloChallenge
 from vit4hep_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow  # full e2e drive; run in snapshot/full suites
+
 
 def make_cfg(tmp_path, shower_file, geometry, iterations=40):
     n_layers = geometry["n_layers"]

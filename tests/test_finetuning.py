@@ -1,5 +1,7 @@
 """Fine-tuning machinery: embedder surgery, param transfer, 3-group optimizer."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -108,6 +110,7 @@ def test_param_groups_and_optimizer():
     assert head_step > 10 * bb_step
 
 
+@pytest.mark.slow
 def test_reinit_wins_over_interpolate():
     """ds2tods3_ft sets reinitialize_x_embedding AND interpolate; the
     reference reinitializes (its interpolate is a no-op on the fresh layer),

@@ -8,6 +8,8 @@ import pytest
 from tests.conftest import make_binning_xml, make_shower_hdf5
 from vit4hep_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow  # full e2e drive; run in snapshot/full suites
+
 # backbone geometry: 4 layers x 4 alpha x 3 r; target: 4 layers x 2 alpha x 3 r
 BB = dict(n_layers=4, n_alpha=4, n_r=3)
 TG = dict(n_layers=4, n_alpha=2, n_r=3)

@@ -132,6 +132,7 @@ def test_collator_and_iterator(lemurs_files, tmp_path):
     assert cu.shape == (16, 3)
 
 
+@pytest.mark.slow
 def test_lemurs_cfm_loss_and_patch(rng):
     from vit4hep_tpu.models.lemurs import LEMURSCFM
     from vit4hep_tpu.models.vit import ViT

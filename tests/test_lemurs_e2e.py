@@ -9,6 +9,7 @@ from tests.test_lemurs import H, L, W, make_lemurs_file
 from vit4hep_tpu.utils.config import Config
 
 
+@pytest.mark.slow
 def test_lemurs_energy_experiment(tmp_path):
     from vit4hep_tpu.experiments.lemurs import LEMURS
 

@@ -4,10 +4,14 @@ conditioned on them, and the plot-style FULL inverse must return physical
 showers — regression for sample_us corrupting the shared pipeline (it used to
 narrow fn.keys to ['extra_dims'], making the later shower inverse a no-op)."""
 
+import pytest
+
 import numpy as np
 
 from tests.test_lemurs import H, L, W, make_lemurs_file
 from vit4hep_tpu.utils.config import Config
+
+pytestmark = pytest.mark.slow  # full e2e drive; run in snapshot/full suites
 
 NUM_CLASSES = 1
 

@@ -1,5 +1,7 @@
 """Networks and CFM model wrappers: shapes, init contracts, loss/sampler."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,6 +96,7 @@ def test_energy_transformer_onehot_mode_and_unconditional():
     assert out_cond.shape == (3, 8)
 
 
+@pytest.mark.slow
 def test_cfm_loss_and_sampler():
     net = ParallelTransformer(
         {"dims_in": 6, "dims_c": 1, "dim_embedding": 16, "nhead": 2,
@@ -168,6 +171,7 @@ def test_trajectories():
     assert np.all(np.isfinite(np.asarray(xt))) and np.all(np.isfinite(np.asarray(xdot)))
 
 
+@pytest.mark.slow
 def test_ar_transformer_loss_and_sampling():
     """Legacy AR energy net: teacher-forced loss + dimension-by-dimension sampling."""
     import jax
@@ -192,6 +196,7 @@ def test_ar_transformer_loss_and_sampling():
     assert np.isfinite(np.asarray(sample)).all()
 
 
+@pytest.mark.slow
 def test_fused_mlp_block_equivalence():
     """fused_mlp=True produces the same outputs and the same param tree as the
     unfused DiT block (checkpoint compatible)."""
@@ -230,6 +235,7 @@ def test_fused_mlp_block_equivalence():
     )
 
 
+@pytest.mark.slow
 def test_ar_transformer_layer_cond_and_embeds():
     """layer_cond appends the per-dimension one-hot in BOTH training and
     sampling (the reference does, transformer.py:166-173); learned x/c embeds

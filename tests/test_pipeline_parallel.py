@@ -2,6 +2,8 @@
 ppermute schedule over a virtual ``pipe`` mesh axis must reproduce sequential
 block application exactly."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -66,6 +68,7 @@ def test_pipeline_matches_sequential():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_grads_match():
     key = jax.random.PRNGKey(3)
     params = _mlp_params(key, depth=4)
@@ -87,6 +90,7 @@ def test_pipeline_grads_match():
     )
 
 
+@pytest.mark.slow
 def test_pipeline_dit_blocks():
     """The real model block (ViT DiTBlock) streams through the pipeline."""
     import flax.linen as nn

@@ -451,6 +451,7 @@ def test_torch_checkpoint_warm_start(ref_vit_module, tmp_path):
     assert int(new_state.ema_updates) == 7
 
 
+@pytest.mark.slow
 def test_finetune_from_torch_backbone(ref_vit_module, tmp_path):
     """Fine-tuning (FTMixin.init_model) accepts a reference torch backbone run
     dir: the backbone .pt is converted before transfer_backbone_params."""
@@ -506,6 +507,7 @@ def test_finetune_from_torch_backbone(ref_vit_module, tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_torch_pt_warm_start_e2e(ref_energy_module, tmp_path, shower_file, geometry):
     """Drop-in migration: a run dir holding only a reference-format
     models/model_run0.pt warm-starts `train=false` sampling end to end."""
@@ -653,6 +655,7 @@ def test_strip_prefixes_ddp_stacked():
     assert set(out) == {"x_embedder.weight", "pos_embed_freqs", "plain"}
 
 
+@pytest.mark.slow
 def test_two_stage_from_torch_run_dirs(ref_vit_module, ref_energy_module, tmp_path):
     """The full framework-switch scenario: run dirs for BOTH stages contain
     only reference-format artifacts (config.yaml, models/model_run0.pt,
@@ -1821,6 +1824,7 @@ def test_dnn_classifier_parity():
     np.testing.assert_allclose(out_ours, out_ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_histogram_suite_chi2_parity(tmp_path):
     """Output-level parity of the histogram engine: run the REFERENCE plotters
     and ours on identical showers (each with its own HLF implementation) and

@@ -10,6 +10,8 @@ import pytest
 from tests.conftest import make_binning_xml, make_shower_hdf5
 from vit4hep_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow  # full e2e drive; run in snapshot/full suites
+
 N_LAYERS, N_ALPHA, N_R = 4, 4, 3
 N_VOX = N_LAYERS * N_ALPHA * N_R
 

@@ -52,12 +52,18 @@ class CINN:
         return x
 
     # -- math --------------------------------------------------------------------
-    def forward(self, params, x, c, rev=False):
-        """rev=False: x -> (z, log|det J|); rev=True: z -> (x, log|det J^-1|)."""
+    def forward(self, params, x, c, rev=False, net=None):
+        """rev=False: x -> (z, log|det J|); rev=True: z -> (x, log|det J^-1|).
+
+        Always runs the composed (differentiable-everywhere) flow unless a
+        ``net`` override is passed: the megakernel twin (``sample_net``) is
+        gated at the sampling call site only (``sample_batch``), so any
+        future inverse-direction LOSS differentiates the composed likelihood
+        path, not the kernel's recompute backward + bf16-matmul numerics.
+        """
         tokens = self.to_patches(x)
         method = "inverse" if rev else "forward"
-        net = self.sample_net if (rev and self.sample_net is not None) else self.net
-        z, log_jac = net.apply(params, tokens, c, method=method)
+        z, log_jac = (net or self.net).apply(params, tokens, c, method=method)
         return self.from_patches(z), log_jac
 
     def log_prob(self, params, x, c):
@@ -75,7 +81,7 @@ class CINN:
 
     def sample_batch(self, params, c, rng):
         z = jax.random.normal(rng, self.x_shape(c.shape[0]), dtype=jnp.float32)
-        x, _ = self.forward(params, z, c, rev=True)
+        x, _ = self.forward(params, z, c, rev=True, net=self.sample_net)
         return x.reshape(z.shape)
 
     def net_evals_per_sample(self) -> int:

@@ -465,18 +465,26 @@ class _ViTBase(nn.Module):
         p = self.cfg
         if (
             p.fused_block is True
+            and not p.checkpoint_grads
             and not p.pad_attn_heads
             and (mask is None or mask.ndim == 2)
         ):
             return self._fused_block_stack(x, c, mask)
         block_cls = DiTBlock
         if p.checkpoint_grads:
+            # checkpoint_grads wins over fused_block: the stack/megakernel
+            # backward recomputes L-1 extra block forwards, which is NOT the
+            # memory/FLOP contract a user enabling remat asked for — honor
+            # remat on the composed path instead (sampling twins built by
+            # sampling_variant() clear checkpoint_grads, so `fused_block:
+            # sample` still gets the stack kernel where it wins)
             block_cls = nn.remat(DiTBlock, static_argnums=())
         for i in range(p.depth):
             x = block_cls(
                 p.hidden_dim, p.num_heads, mlp_ratio=p.mlp_ratio,
                 attn_impl=p.attn_impl, fused_mlp=p.fused_mlp,
-                fused_block=p.fused_block is True, pad_heads=p.pad_attn_heads,
+                fused_block=p.fused_block is True and not p.checkpoint_grads,
+                pad_heads=p.pad_attn_heads,
                 dtype=p.dtype, name=f"block_{i}",
             )(x, c, mask)
         return x
@@ -600,6 +608,7 @@ class ViTNet(_ViTBase):
         if (
             p.fused_block is True
             and p.fused_stack
+            and not p.checkpoint_grads  # remat wins: see _blocks
             and not p.pad_attn_heads
             and (mask is None or mask.ndim == 2)
         ):
@@ -650,6 +659,7 @@ class ViT1DNet(_ViTBase):
         if (
             p.fused_block is True
             and p.fused_stack
+            and not p.checkpoint_grads  # remat wins: see _blocks
             and not p.pad_attn_heads
             and (mask is None or mask.ndim == 2)
         ):
@@ -682,7 +692,11 @@ def sampling_variant(net):
     if getattr(cfg, "fused_block", None) == "sample":
         import dataclasses
 
-        return type(net)(cfg=dataclasses.replace(cfg, fused_block=True))
+        # checkpoint_grads is dropped in the twin: sampling never
+        # differentiates, and leaving it set would (by the rule in _blocks)
+        # veto the stack kernel the twin exists for
+        return type(net)(cfg=dataclasses.replace(
+            cfg, fused_block=True, checkpoint_grads=False))
     return net
 
 

@@ -85,6 +85,17 @@ def dot_product_attention(q, k, v, mask=None, impl="auto", scale=None):
 
         return flash_attention(q, k, v, mask, 256, 256, scale)
     if impl == "vmem":
+        # same guard the auto path applies (n <= 1024): the one-shot kernel
+        # holds the full K/V panel + (N, N) scores per (batch, head) grid
+        # cell in VMEM — an explicit `attn_impl: vmem` config beyond that
+        # would hit a raw Mosaic scoped-VMEM compile failure
+        n_kv, d = q.shape[-2], q.shape[-1]
+        if n_kv > 1024 or 16 * n_kv * d + 20 * n_kv * n_kv > 120 * 1024 * 1024:
+            raise ValueError(
+                f"attn_impl 'vmem': N={n_kv} x D={d} exceeds the one-shot "
+                f"kernel's VMEM working set; use attn_impl 'flash' (or "
+                f"'auto', which falls back to it) for sequences this long"
+            )
         from vit4hep_tpu.ops.vmem_attention import vmem_attention
 
         return vmem_attention(q, k, v, mask, scale)
@@ -102,15 +113,18 @@ def qkv_attention(qkv, num_heads, mask=None, impl="auto", scale=None):
     5.03 vs 9.54 at ds3 N=450; 1.17 vs 3.54 at N=2048), and the flash
     kernel beyond (the (N, 3HD) panel + scores outgrow VMEM)."""
     n = qkv.shape[-2]
+    # VMEM working-set bound of the fused-layout kernel: the (N, 3HD) panel
+    # + per-head (N, N) scores must fit the 128M scoped-VMEM budget, and
+    # N=2048 is the largest measured-to-compile length — beyond either, the
+    # online-softmax flash kernel takes over rather than risking a Mosaic
+    # VMEM compile failure. The bound applies to EXPLICIT `attn_impl: fused`
+    # configs too (an unguarded config would hit a raw Mosaic error).
+    hd = qkv.shape[-1] // 3
+    fused_fits = n <= 2048 and 16 * n * hd + 20 * n * n <= 120 * 1024 * 1024
     if impl == "auto":
         kernel_ok = mask is None or mask.ndim == 2
         # measured fused wins at every point up to N=2048 (1.17 vs 1.70 ms
-        # vmem / 3.54 xla); the cap is BOTH the largest measured-to-compile
-        # length (2048) and a VMEM working-set bound for narrower/wider
-        # hidden dims — beyond either, the online-softmax flash kernel
-        # takes over rather than risking a Mosaic VMEM compile failure
-        hd = qkv.shape[-1] // 3
-        fused_fits = n <= 2048 and 16 * n * hd + 20 * n * n <= 120 * 1024 * 1024
+        # vmem / 3.54 xla)
         if kernel_ok and n >= 128 and fused_fits:
             impl = "fused"
         elif kernel_ok and n >= 128:
@@ -118,6 +132,14 @@ def qkv_attention(qkv, num_heads, mask=None, impl="auto", scale=None):
         else:
             impl = "xla"
     if impl == "fused":
+        if not fused_fits:
+            raise ValueError(
+                f"attn_impl 'fused': N={n} tokens x head_dim {hd // num_heads} "
+                f"exceeds the fused-layout kernel's VMEM working-set bound "
+                f"(would fail Mosaic scoped-VMEM compilation); use "
+                f"attn_impl 'flash' (or 'auto', which falls back to it) "
+                f"for sequences this long"
+            )
         from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
 
         return fused_qkv_attention(qkv, num_heads, mask, scale)

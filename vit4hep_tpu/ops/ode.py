@@ -69,17 +69,7 @@ def odeint(f, y0, t0=0.0, t1=1.0, method="rk4", step_size=0.05, unroll=5):
     if method not in _STEPPERS:
         raise ValueError(f"ODE method '{method}' not implemented ({list(_STEPPERS)})")
     stepper = _STEPPERS[method]
-    span = t1 - t0
-    if step_size <= 0 or span <= 0:
-        raise ValueError(f"step_size {step_size} too large for interval [{t0}, {t1}]")
-    # torchdiffeq fixed-grid semantics: full steps of `step_size`, plus one
-    # truncated final step when step_size does not divide the interval
-    # (its grid is t0 + step_size * arange(...) with the last point clamped
-    # to t1) — NOT n equal steps of a rounded size
-    n_full = int(span / step_size + 1e-9)
-    remainder = span - n_full * step_size
-    if remainder < 1e-9 * max(1.0, abs(span)):
-        remainder = 0.0
+    n_full, remainder = _grid_plan(step_size, t0, t1)
     if n_full <= 0 and remainder == 0.0:
         raise ValueError(f"step_size {step_size} too large for interval [{t0}, {t1}]")
     dt = step_size
@@ -95,16 +85,27 @@ def odeint(f, y0, t0=0.0, t1=1.0, method="rk4", step_size=0.05, unroll=5):
     return y_final
 
 
-def grid_steps(step_size: float, t0: float = 0.0, t1: float = 1.0) -> int:
-    """Number of stepper invocations odeint() makes for this grid: full steps
-    of ``step_size`` plus one truncated final step when the step size does not
-    divide the interval (torchdiffeq fixed-grid semantics — mirror of the
-    arithmetic in :func:`odeint`)."""
+def _grid_plan(step_size: float, t0: float, t1: float) -> tuple[int, float]:
+    """(n_full_steps, truncated_remainder) of the fixed grid — torchdiffeq
+    semantics: full steps of ``step_size``, plus one truncated final step when
+    the step size does not divide the interval (its grid is
+    t0 + step_size * arange(...) with the last point clamped to t1) — NOT n
+    equal steps of a rounded size. Single source of truth for both
+    :func:`odeint` and :func:`grid_steps` so net_evals_per_sample accounting
+    can never drift from the executed eval count."""
     span = t1 - t0
+    if step_size <= 0 or span <= 0:
+        raise ValueError(f"step_size {step_size} too large for interval [{t0}, {t1}]")
     n_full = int(span / step_size + 1e-9)
     remainder = span - n_full * step_size
     if remainder < 1e-9 * max(1.0, abs(span)):
         remainder = 0.0
+    return n_full, remainder
+
+
+def grid_steps(step_size: float, t0: float = 0.0, t1: float = 1.0) -> int:
+    """Number of stepper invocations odeint() makes for this grid."""
+    n_full, remainder = _grid_plan(step_size, t0, t1)
     return n_full + (1 if remainder > 0.0 else 0)
 
 
