@@ -302,6 +302,22 @@ def _probe_device(timeout_s=420.0):
     th.start()
     th.join(timeout_s)
     if not ok:
+        # point the record at the newest healthy self-preserved capture so
+        # a wedged round still references driver-comparable numbers
+        last_healthy = None
+        try:
+            import glob
+            caps = sorted(glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_MIDROUND_r*.json")))
+            if caps:
+                with open(caps[-1]) as f:
+                    cap = json.load(f)
+                last_healthy = {"file": os.path.basename(caps[-1]),
+                                "value": cap.get("value"),
+                                "extra": cap.get("extra")}
+        except Exception:
+            pass
         print(json.dumps({
             "metric": "calochallenge_ds2_sampling_throughput",
             "value": None,
@@ -309,6 +325,7 @@ def _probe_device(timeout_s=420.0):
             "vs_baseline": None,
             "error": f"device unreachable: tiny fetch hung > {timeout_s:.0f}s "
                      "(wedged axon tunnel)",
+            "last_healthy_capture": last_healthy,
         }))
         sys.stdout.flush()
         sys.stderr.flush()

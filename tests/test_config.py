@@ -126,3 +126,20 @@ def test_apply_overrides_tilde_deletes():
     with pytest.raises(ValueError, match="does not match"):
         apply_overrides(cfg, ["~b.d=999"])
     assert cfg.b.d == 3
+
+
+def test_compose_group_override():
+    """Hydra config-GROUP overrides: `model=cfm/cfm_ds2_electrons_tpu` swaps
+    the whole model node (the AUC-gate tool and the reference launcher use
+    this); dotted value overrides still apply on top."""
+    from vit4hep_tpu.utils.config import compose
+
+    cfg = compose("configs", "calochallenge/cfm/calochallenge_ds2",
+                  ["model=cfm/cfm_ds2_electrons_tpu",
+                   "model.net.param.depth=2"])
+    assert cfg.model.net.param.num_heads == 3  # the _tpu head count
+    assert cfg.model.net.param.depth == 2      # value override on top
+    # non-group assignments still behave as plain values
+    cfg2 = compose("configs", "calochallenge/cfm/calochallenge_ds2",
+                   ["exp_name=NotAGroup"])
+    assert cfg2.exp_name == "NotAGroup"

@@ -1,0 +1,35 @@
+#!/bin/bash
+# Serial on-chip measurement campaign (round 3). Run ONLY when the axon
+# tunnel probes healthy (tools: /tmp/probe_tpu.py). Order matters: the
+# official-comparable bench capture comes FIRST (VERDICT r2 next #2 —
+# insurance against a re-wedge), then the kernel-decision A/Bs, then the
+# rooflines. Everything strictly serial (1-vCPU host, CLAUDE.md).
+# Usage: bash tools/hw_campaign.sh [outdir]   (default /tmp/campaign)
+set -u
+OUT=${1:-/tmp/campaign}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() { # name timeout cmd...
+  local name=$1 to=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT/campaign.log"
+  timeout "$to" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "$name rc=$rc" | tee -a "$OUT/campaign.log"
+  tail -20 "$OUT/$name.log"
+}
+
+# 1. healthy-capture insurance: the full bench (headline + extras)
+run bench 3600 python bench.py
+grep -h '"metric"' "$OUT/bench.log" | tail -1 > "$OUT/bench.json" || true
+
+# 2. kernel-decision A/Bs (VERDICT r2 next #3)
+run train_ab 2400 python tools/train_attn_bench.py
+run energy_ab 1800 python tools/stage_ab.py energy
+run cinn_ab 1200 python tools/stage_ab.py cinn
+
+# 3. rooflines (VERDICT r2 next #4 / #5)
+run roofline_small 1800 python tools/roofline_small_stages.py
+run roofline_ds3 1200 python tools/roofline_ds3.py
+
+echo "=== campaign done ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT/campaign.log"

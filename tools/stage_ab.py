@@ -1,0 +1,78 @@
+"""A/B the energy-decoder megakernel against the composed energy sampler
+(and report the cINN sampler for context) on the attached device.
+
+Measures `sample_batch` throughput at the shipped workloads
+(cfm_ds2_energy.yaml batch 1024, cinn_ds2_electrons.yaml batch 256) with the
+same timing discipline as bench.py (jitted program per batch, scalar-fetch
+sync, warm-up fetch for tunnel backlog).
+
+Run: python tools/stage_ab.py [energy|cinn|both] [group ...]
+  energy: composed vs fused_block=true at each requested kernel group size
+  (default groups: 8 16 32).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _model(rel, patch=None):
+    from vit4hep_tpu.utils.config import _load_yaml, instantiate
+
+    raw = _load_yaml(os.path.join(_REPO, "configs", rel))
+    if patch:
+        patch(raw)
+    return instantiate(raw)
+
+
+def _rate(model, cond_dim, batch, n_iters=4, seed=0):
+    key = jax.random.PRNGKey(seed)
+    params = model.init_params(key)
+    cond = jax.device_put(np.random.randn(batch, cond_dim).astype(np.float32))
+    fn = jax.jit(lambda p, c, k: jnp.sum(model.sample_batch(p, c, k)))
+    float(fn(params, cond, key))  # compile + warmup fetch
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        s = float(fn(params, cond, jax.random.fold_in(key, 100 + i)))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s)
+    return batch * n_iters / dt
+
+
+def ab_energy(groups=(8, 16, 32), batch=1024):
+    base = _rate(_model("model/cfm/cfm_ds2_energy.yaml"), 1, batch)
+    print(f"energy composed: {base:.1f} u-vec/s")
+    for g in groups:
+        def patch(raw, g=g):
+            raw["net"]["param"]["fused_block"] = True
+            raw["net"]["param"]["fused_group"] = int(g)
+        r = _rate(_model("model/cfm/cfm_ds2_energy.yaml", patch), 1, batch)
+        print(f"energy fused (group={g}): {r:.1f} u-vec/s "
+              f"({(r / base - 1) * 100:+.0f}%)")
+
+
+def cinn_rate(batch=256):
+    r = _rate(_model("model/cinn/cinn_ds2_electrons.yaml"), 46, batch)
+    print(f"cinn ds2 sampler: {r:.1f} showers/s")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    groups = tuple(int(a) for a in sys.argv[2:]) or (8, 16, 32)
+    float(jnp.zeros(()))  # absorb first-fetch backlog
+    print("device:", jax.devices()[0].platform)
+    if which in ("energy", "both"):
+        ab_energy(groups)
+    if which in ("cinn", "both"):
+        cinn_rate()

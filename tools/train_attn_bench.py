@@ -26,7 +26,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def bench_train(yaml_rel: str, shape, attn_impl: str, batch=16, inner=10,
-                n_iters=3) -> float:
+                n_iters=3, fused_block=None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -35,6 +35,13 @@ def bench_train(yaml_rel: str, shape, attn_impl: str, batch=16, inner=10,
 
     cfg = _load_yaml(os.path.join(_REPO, "configs", yaml_rel))
     cfg["net"]["param"]["attn_impl"] = attn_impl
+    if fused_block is not None:
+        # the VERDICT-3 decision knob: `true` trains through the DiT
+        # megakernel tier (all-Pallas fwd+bwd); `sample`/False keep the
+        # composed train step. checkpoint_grads vetoes the kernels, so
+        # clear it for the A/B (models/vit.py:_blocks).
+        cfg["net"]["param"]["fused_block"] = fused_block
+        cfg["net"]["param"]["checkpoint_grads"] = False
     model = instantiate(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
 
@@ -85,6 +92,13 @@ def main():
         for impl in ("xla", "auto"):
             rate = bench_train(yaml_rel, shape, impl, batch=batch)
             print(f"{name} train (batch {batch}) attn_impl={impl:5s}: "
+                  f"{rate:6.2f} it/s")
+        # the fused_block sample->true decision (VERDICT round 2, next #3):
+        # does the all-Pallas megakernel tier beat the composed train step?
+        for fb in (True,):
+            rate = bench_train(yaml_rel, shape, "auto", batch=batch,
+                               fused_block=fb)
+            print(f"{name} train (batch {batch}) fused_block={fb}:   "
                   f"{rate:6.2f} it/s")
 
 

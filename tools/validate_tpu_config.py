@@ -90,8 +90,13 @@ def main(argv=None):
     ap.add_argument("overrides", nargs="*", help="hydra-style overrides for BOTH runs")
     arg = ap.parse_args(argv)
 
+    # hydra group-override value is relative to the group ("cfm/..._tpu");
+    # tolerate the fully-qualified "model/cfm/..._tpu" spelling too
+    tpu_model = arg.tpu_model
+    if tpu_model and tpu_model.startswith("model/"):
+        tpu_model = tpu_model[len("model/"):]
     tpu_override = (
-        f"model={arg.tpu_model}" if arg.tpu_model
+        f"model={tpu_model}" if tpu_model
         else "model.net.param.num_heads=3"
     )
     try:

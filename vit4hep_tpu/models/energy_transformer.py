@@ -55,6 +55,12 @@ class EnergyTransformerParams:
     # deterministic constant. Set explicitly (tuple/list) when migrating a
     # torch checkpoint so the time features match the trained network.
     fourier_w: tuple | None = None
+    # decoder megakernel (ops/fused_energy_decoder.py): False = composed,
+    # True = always, "sample" = sampling twin only (the CFM sample_net
+    # mechanism, same semantics as the ViT flag). Param tree is unchanged.
+    fused_block: Any = False
+    # batch elements per kernel grid cell (block-diagonal attention group)
+    fused_group: int = 16
 
     @classmethod
     def create(cls, param: dict) -> "EnergyTransformerParams":
@@ -175,6 +181,83 @@ class _DecoderLayer(nn.Module):
         return x
 
 
+class _DenseP(nn.Module):
+    """Parameter-only stand-in for nn.Dense (flax default inits), used by the
+    fused decoder path so checkpoints stay interchangeable."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.din, self.dout))
+        b = self.param("bias", nn.initializers.zeros, (self.dout,))
+        return k, b
+
+
+class _LNP(nn.Module):
+    """Parameter-only stand-in for nn.LayerNorm (scale + bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+class _MHAParams(nn.Module):
+    """Parameter-only stand-in for _MHA (q/k/v/out projections)."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DenseP(self.d_model, self.d_model, name="q_proj")()
+        wk, bk = _DenseP(self.d_model, self.d_model, name="k_proj")()
+        wv, bv = _DenseP(self.d_model, self.d_model, name="v_proj")()
+        wo, bo = _DenseP(self.d_model, self.d_model, name="out_proj")()
+        return (wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+class _FFParams(nn.Module):
+    """Parameter-only stand-in for _FeedForward (Dense_0 / Dense_1)."""
+
+    d_model: int
+    dim_feedforward: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseP(self.d_model, self.dim_feedforward, name="Dense_0")()
+        w2, b2 = _DenseP(self.dim_feedforward, self.d_model, name="Dense_1")()
+        return w1, b1, w2, b2
+
+
+class _DecoderLayerParams(nn.Module):
+    """Parameter-only stand-in for _DecoderLayer: declares the exact same
+    param tree (self_attn, cross_attn, _FeedForward_0, LayerNorm_0/1/2) and
+    returns the weights the fused decoder kernel consumes. The cross-attn
+    q_proj/k_proj are declared for checkpoint parity but mathematically dead
+    in the forward whenever the encoder memory is a single token (softmax
+    over one key == 1; see ops/fused_energy_decoder.py)."""
+
+    d_model: int
+    dim_feedforward: int
+
+    @nn.compact
+    def __call__(self):
+        sa = _MHAParams(self.d_model, name="self_attn")()
+        ln0 = _LNP(self.d_model, name="LayerNorm_0")()
+        ca = _MHAParams(self.d_model, name="cross_attn")()
+        ln1 = _LNP(self.d_model, name="LayerNorm_1")()
+        ff = _FFParams(self.d_model, self.dim_feedforward,
+                       name="_FeedForward_0")()
+        ln2 = _LNP(self.d_model, name="LayerNorm_2")()
+        return sa, ca, ff, (ln0, ln1, ln2)
+
+
 class ParallelTransformerNet(nn.Module):
     cfg: EnergyTransformerParams
 
@@ -244,6 +327,13 @@ class ParallelTransformerNet(nn.Module):
                 )(src)
             memory = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="encoder_norm")(src)
 
+        # decoder megakernel: valid whenever the cross-attention memory
+        # collapses to one effective token — a 1-token encoder (dims_c == 1)
+        # or the all-identical zero memory of the unconditional branch
+        # (softmax over identical keys is uniform; context == v of any token)
+        if p.fused_block is True and (condition is None or p.dims_c == 1):
+            return self._fused_decoder(tgt, t_feats, memory)
+
         h = tgt
         for i in range(p.num_decoder_layers):
             h = _DecoderLayer(
@@ -258,6 +348,51 @@ class ParallelTransformerNet(nn.Module):
         v = nn.silu(v)
         v = nn.Dense(1, dtype=dt, name="head_1")(v)
         return v[..., 0].astype(jnp.float32)
+
+    def _fused_decoder(self, tgt, t_feats, memory):
+        """Decoder stack + final LN + head as one Pallas kernel per batch
+        group (ops/fused_energy_decoder.py). Param tree identical to the
+        composed modules, so checkpoints and the `fused_block: sample` twin
+        are interchangeable."""
+        from vit4hep_tpu.ops.fused_energy_decoder import fused_energy_decoder
+
+        p = self.cfg
+        dm = p.d_model
+        m0 = memory[:, 0, :].astype(jnp.float32)  # (B, D): the one token
+
+        sas, lns_s, lns_b, crosses = [], [], [], []
+        w1s, b1s, w2s, b2s = [], [], [], []
+        for i in range(p.num_decoder_layers):
+            sa, ca, ff, (ln0, ln1, ln2) = _DecoderLayerParams(
+                dm, p.dim_feedforward, name=f"decoder_{i}"
+            )()
+            wq, bq, wk, bk, wv, bv, wo, bo = sa
+            sas.append((jnp.concatenate([wq, wk, wv], axis=1),
+                        jnp.concatenate([bq, bk, bv]), wo, bo))
+            _, _, _, _, wv_c, bv_c, wo_c, bo_c = ca
+            # cross-attention output per element: out_proj(v_proj(memory))
+            # (t-independent => XLA hoists it out of the ODE sampling scan)
+            crosses.append((m0 @ wv_c + bv_c) @ wo_c + bo_c)
+            w1, b1, w2, b2 = ff
+            w1s.append(w1); b1s.append(b1); w2s.append(w2); b2s.append(b2)
+            lns_s.append(jnp.stack([ln0[0], ln1[0], ln2[0]]))
+            lns_b.append(jnp.stack([ln0[1], ln1[1], ln2[1]]))
+        fs, fb = _LNP(dm, name="decoder_norm")()
+        hw0, hb0 = _DenseP(p.encode_t_dim + dm, p.dim_feedforward,
+                           name="head_0")()
+        hw1, hb1 = _DenseP(p.dim_feedforward, 1, name="head_1")()
+
+        out = fused_energy_decoder(
+            tgt.astype(jnp.float32), t_feats.astype(jnp.float32),
+            jnp.stack(crosses, axis=1),
+            jnp.stack(lns_s), jnp.stack(lns_b),
+            jnp.stack([s[0] for s in sas]), jnp.stack([s[1] for s in sas]),
+            jnp.stack([s[2] for s in sas]), jnp.stack([s[3] for s in sas]),
+            jnp.stack(w1s), jnp.stack(b1s), jnp.stack(w2s), jnp.stack(b2s),
+            fs, fb, hw0, hb0, hw1, hb1,
+            p.nhead, p.activation, p.fused_group,
+        )
+        return out.astype(jnp.float32)
 
 
 def ParallelTransformer(param: dict) -> ParallelTransformerNet:

@@ -692,11 +692,14 @@ def sampling_variant(net):
     if getattr(cfg, "fused_block", None) == "sample":
         import dataclasses
 
-        # checkpoint_grads is dropped in the twin: sampling never
-        # differentiates, and leaving it set would (by the rule in _blocks)
-        # veto the stack kernel the twin exists for
-        return type(net)(cfg=dataclasses.replace(
-            cfg, fused_block=True, checkpoint_grads=False))
+        # checkpoint_grads is dropped in the twin (when the cfg has it —
+        # the energy transformer's doesn't): sampling never differentiates,
+        # and leaving it set would (by the rule in _blocks) veto the stack
+        # kernel the twin exists for
+        kw = {"fused_block": True}
+        if any(f.name == "checkpoint_grads" for f in dataclasses.fields(cfg)):
+            kw["checkpoint_grads"] = False
+        return type(net)(cfg=dataclasses.replace(cfg, **kw))
     return net
 
 

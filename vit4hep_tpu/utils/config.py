@@ -344,13 +344,28 @@ def compose(
     config_name: str = "default",
     overrides: list[str] | None = None,
 ) -> Config:
-    """Compose a config the way ``@hydra.main`` does in the reference launcher."""
-    cfg = _compose_file(os.path.abspath(config_path), config_name)
+    """Compose a config the way ``@hydra.main`` does in the reference launcher.
+
+    Supports Hydra config-GROUP overrides (``model=cfm/cfm_ds2_electrons_tpu``
+    swaps the whole defaults-group node when ``<config_path>/<key>/<value>.yaml``
+    exists) in addition to plain value overrides — the reference launcher
+    relies on this to switch model configs from the CLI.
+    """
+    config_dir = os.path.abspath(config_path)
+    cfg = _compose_file(config_dir, config_name)
     # drop hydra-runtime node if present (reference configs/hydra.yaml)
     if "hydra" in cfg:
         del cfg["hydra"]
-    if overrides:
-        apply_overrides(cfg, overrides)
+    value_overrides = []
+    for ov in overrides or []:
+        key, eq, val = ov.partition("=")
+        group_yaml = os.path.join(config_dir, key, str(val) + ".yaml")
+        if eq and "." not in key and "/" not in key and os.path.isfile(group_yaml):
+            cfg[key] = _compose_file(config_dir, val, key)
+        else:
+            value_overrides.append(ov)
+    if value_overrides:
+        apply_overrides(cfg, value_overrides)
     return cfg
 
 
