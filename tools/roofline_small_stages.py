@@ -205,8 +205,8 @@ def roofline_cinn(batch=256):
     # ---- one subnet forward, scanned ----
     from vit4hep_tpu.models.vit import ViT1D
 
-    cb = model.net.blocks[0]
-    # rebuild the block-0 subnet exactly as the flow does
+    cb = next(b for b in model.net.blocks if hasattr(b, "subnet_ctor"))
+    # rebuild the first coupling's subnet exactly as the flow does
     subnet = cb.subnet_ctor(cb.n_params)
     T_half = subnet.cfg.prod_num_patches
     P = subnet.cfg.patch_dim
