@@ -21,6 +21,13 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+if __import__("os").environ.get("JAX_PLATFORMS"):
+    # axon plugin overrides JAX_PLATFORMS from the env; re-assert it
+    import jax
+
+    jax.config.update("jax_platforms",
+                      __import__("os").environ["JAX_PLATFORMS"])
+
 import jax
 import jax.numpy as jnp
 

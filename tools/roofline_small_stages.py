@@ -33,6 +33,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin overrides JAX_PLATFORMS from the environment;
+    # re-assert it (same guard as main.py) so CPU smoke runs stay on CPU
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax
 import jax.numpy as jnp
 
@@ -269,11 +276,15 @@ def roofline_cinn(batch=256):
 
 
 if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    args = [a for a in sys.argv[1:] if a != "--smoke"]
+    smoke = "--smoke" in sys.argv  # CPU plumbing check: tiny batch/INNER
+    which = args[0] if args else "both"
+    if smoke:
+        INNER = 2
     float(jnp.zeros(()))  # absorb first-fetch tunnel backlog
     print(f"device: {jax.devices()[0].platform}, "
           f"dispatch floor {measure_dispatch_floor() * 1e3:.1f} ms")
     if which in ("energy", "both"):
-        roofline_energy()
+        roofline_energy(batch=8 if smoke else 1024)
     if which in ("cinn", "both"):
-        roofline_cinn()
+        roofline_cinn(batch=8 if smoke else 256)

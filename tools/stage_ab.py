@@ -21,6 +21,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin overrides JAX_PLATFORMS from the environment;
+    # re-assert it (same guard as main.py) so CPU smoke runs stay on CPU
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax
 import jax.numpy as jnp
 
@@ -68,8 +75,13 @@ def cinn_rate(batch=256):
 
 
 if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
-    groups = tuple(int(a) for a in sys.argv[2:]) or (8, 16, 32)
+    args = [a for a in sys.argv[1:] if a != "--smoke"]
+    smoke = "--smoke" in sys.argv  # CPU plumbing check: tiny batch, 1 iter
+    which = args[0] if args else "both"
+    groups = tuple(int(a) for a in args[1:]) or ((4,) if smoke else (8, 16, 32))
+    if smoke:
+        _orig = _rate
+        _rate = lambda m, cd, b, **kw: _orig(m, cd, 8, n_iters=1)
     float(jnp.zeros(()))  # absorb first-fetch backlog
     print("device:", jax.devices()[0].platform)
     if which in ("energy", "both"):

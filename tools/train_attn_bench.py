@@ -20,6 +20,13 @@ import time
 
 sys.path.insert(0, ".")
 
+if __import__("os").environ.get("JAX_PLATFORMS"):
+    # axon plugin overrides JAX_PLATFORMS from the env; re-assert it
+    import jax
+
+    jax.config.update("jax_platforms",
+                      __import__("os").environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -83,11 +90,18 @@ def bench_train(yaml_rel: str, shape, attn_impl: str, batch=16, inner=10,
 def main():
     import jax.numpy as jnp
 
+    smoke = "--smoke" in sys.argv  # CPU plumbing check: ds2 only, tiny steps
     float(jnp.zeros(()))  # tunnel warm-up fetch
     workloads = [
         ("ds2", "model/cfm/cfm_ds2_electrons.yaml", (1, 45, 16, 9), 64),
         ("ds3", "model/cfm/cfm_ds3_electrons.yaml", (1, 45, 50, 18), 16),
     ]
+    if smoke:
+        workloads = workloads[:1]
+        global bench_train
+        _orig = bench_train
+        bench_train = (lambda y, s, i, batch=64, **kw:
+                       _orig(y, s, i, batch=2, inner=1, n_iters=1, **kw))
     for name, yaml_rel, shape, batch in workloads:
         for impl in ("xla", "auto"):
             rate = bench_train(yaml_rel, shape, impl, batch=batch)
