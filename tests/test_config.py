@@ -143,3 +143,27 @@ def test_compose_group_override():
     cfg2 = compose("configs", "calochallenge/cfm/calochallenge_ds2",
                    ["exp_name=NotAGroup"])
     assert cfg2.exp_name == "NotAGroup"
+
+
+def test_compose_group_override_keeps_self_tweaks(tmp_path):
+    """Hydra re-runs composition on a group override: the primary config's
+    own ``_self_`` body tweaks on that group must still merge ON TOP of the
+    swapped-in node (round-3 review finding — the old wholesale node
+    assignment silently dropped them)."""
+    from vit4hep_tpu.utils.config import compose
+
+    (tmp_path / "model").mkdir()
+    (tmp_path / "model" / "a.yaml").write_text("name: a\nwidth: 1\ndepth: 3\n")
+    (tmp_path / "model" / "b.yaml").write_text("name: b\nwidth: 2\ndepth: 4\n")
+    (tmp_path / "main.yaml").write_text(
+        "defaults:\n  - model: a\n  - _self_\nmodel:\n  width: 7\n")
+    cfg = compose(str(tmp_path), "main", ["model=b"])
+    assert cfg.model.name == "b"    # group swapped
+    assert cfg.model.depth == 4     # swapped node's own values kept
+    assert cfg.model.width == 7     # _self_ body tweak survives (hydra)
+
+    # flat config (no defaults list): group override falls back to node
+    # assignment (the run-dir / AUC-gate surface)
+    (tmp_path / "flat.yaml").write_text("model:\n  name: a\n  width: 1\n")
+    cfg2 = compose(str(tmp_path), "flat", ["model=b"])
+    assert cfg2.model.name == "b" and cfg2.model.width == 2

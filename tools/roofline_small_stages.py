@@ -13,11 +13,11 @@ sampling loop and ``nn/cfm/transformer_cfm.py:12-119`` energy net):
 - prints each next to analytic MXU / HBM / VPU floors derived from the
   shipped config constants (cfm_ds2_energy.yaml, cinn_ds2_electrons.yaml).
 
-Both stages run at d_model 64 / hidden 192 — panels far below the 128-lane
-MXU tile, so the expected verdict is HBM-round-trip/latency-bound with a
-low MXU ceiling from lane padding; the numbers decide between "fuse the
-stack" (the energy decoder megakernel, ops/fused_energy_decoder.py) and
-"document the floor and close the metric".
+Both stages run small panels (energy d_model 128, cINN subnet hidden 192 —
+at or below the 128-lane MXU tile), so the expected verdict is
+HBM-round-trip/latency-bound with a low MXU ceiling from lane padding; the
+numbers decide between "fuse the stack" (the energy decoder megakernel,
+ops/fused_energy_decoder.py) and "document the floor and close the metric".
 
 Run: python tools/roofline_small_stages.py [energy|cinn|both]
 (axon TPU; CPU works for smoke-testing but floors are v5e-specific).
@@ -110,7 +110,10 @@ def roofline_energy(batch=1024):
     (B, 45, 64). Floors per net EVAL."""
     model = _load("model/cfm/cfm_ds2_energy.yaml")
     p = model.net.cfg
-    n, d, f, L = p.dims_in, p.dim_embedding, p.dim_feedforward, p.num_decoder_layers
+    # d_model, NOT dim_embedding: with embeds=true the decoder runs at
+    # 2*dim_embedding (x-embed ++ condition-embed) — using 64 here once
+    # understated every floor ~4x (round-3 review finding)
+    n, d, f, L = p.dims_in, p.d_model, p.dim_feedforward, p.num_decoder_layers
     te = p.encode_t_dim
     f32 = 4
 
@@ -170,7 +173,8 @@ def roofline_energy(batch=1024):
     print(f"  fused-kernel HBM floor: {hbm_fused / V5E_HBM_BPS * 1e3:.3f} ms "
           f"(vs composed {hbm_composed / V5E_HBM_BPS * 1e3:.3f}) — "
           f"upper bound {'%.0f' % (rate * t_eval_e2e / max(hbm_fused / V5E_HBM_BPS, flop / (V5E_MXU_TFLOPS * 0.25)))}x "
-          f"if HBM-bound (MXU term assumes 25% eff. from d=64 lane padding)")
+          f"if HBM-bound (MXU term assumes 25% eff. from d_model-{d} "
+          f"lane padding)")
 
     # ---- fused-kernel per-eval time (the decision number) ----
     import dataclasses

@@ -28,12 +28,14 @@ Two structural simplifications, both exact:
   The wasted score FLOPs are ~17% of the eval at G=16 — far cheaper than
   the HBM round trips they replace.
 
-Training keeps the composed path: this kernel ships behind
-``fused_block: sample`` on the energy configs (the CFM sampling-twin
-mechanism, models/cfm.py:sample_net). The backward recomputes the composed
-reference in plain JAX (sampling never differentiates; `fused_block: true`
-stays functional for completeness but measured slower in training — same
-trade as the DiT megakernel).
+Training keeps the composed path. Rollout is PENDING the on-chip A/B
+(``python tools/stage_ab.py energy``): no shipped energy config sets
+``fused_block`` yet — if the kernel wins, configs get ``fused_block:
+sample`` (the CFM sampling-twin mechanism: the ``sample_net`` property on
+CFMBase via models/vit.py:sampling_variant). The backward recomputes the
+composed reference in plain JAX (sampling never differentiates;
+``fused_block: true`` stays functional for completeness — expected slower
+in training, same trade as the DiT megakernel).
 """
 
 from __future__ import annotations

@@ -237,12 +237,20 @@ def _load_yaml(path: str) -> dict:
         return yaml.safe_load(f) or {}
 
 
-def _compose_file(config_dir: str, rel_name: str, group_dir: str = "") -> Config:
+def _compose_file(config_dir: str, rel_name: str, group_dir: str = "",
+                  group_overrides: dict | None = None) -> Config:
     """Load ``<config_dir>/<group_dir>/<rel_name>.yaml`` and process its defaults list.
 
     Implements Hydra's defaults-list semantics (hydra 1.1+, ``version_base=None``):
     entries are merged in order; if ``_self_`` is absent it is appended at the end,
     so the config's own content overrides its defaults.
+
+    ``group_overrides`` (primary config only) maps a defaults-group name to a
+    replacement config name (CLI ``model=cfm/b``): the matching defaults entry
+    composes the replacement INSTEAD, so later entries — in particular the
+    primary's own ``_self_`` body tweaks — still merge on top, exactly as
+    Hydra re-runs composition. Consumed keys are popped so ``compose`` can
+    fall back to node assignment for flat (defaults-free) configs.
     """
     path = os.path.join(config_dir, group_dir, rel_name + ".yaml")
     raw = _load_yaml(path)
@@ -270,6 +278,8 @@ def _compose_file(config_dir: str, rel_name: str, group_dir: str = "") -> Config
                 if name is None:
                     continue
                 grp = group.lstrip("/")
+                if group_overrides and grp in group_overrides:
+                    name = group_overrides.pop(grp)
                 # absolute group markers resolve from the config root, like the
                 # plain-string branch (hydra: '/model: x' in a nested config
                 # still loads configs/model/x.yaml and packages under `model`)
@@ -352,18 +362,24 @@ def compose(
     relies on this to switch model configs from the CLI.
     """
     config_dir = os.path.abspath(config_path)
-    cfg = _compose_file(config_dir, config_name)
-    # drop hydra-runtime node if present (reference configs/hydra.yaml)
-    if "hydra" in cfg:
-        del cfg["hydra"]
-    value_overrides = []
+    group_overrides, value_overrides = {}, []
     for ov in overrides or []:
         key, eq, val = ov.partition("=")
         group_yaml = os.path.join(config_dir, key, str(val) + ".yaml")
         if eq and "." not in key and "/" not in key and os.path.isfile(group_yaml):
-            cfg[key] = _compose_file(config_dir, val, key)
+            group_overrides[key] = str(val)
         else:
             value_overrides.append(ov)
+    cfg = _compose_file(config_dir, config_name,
+                        group_overrides=group_overrides)
+    # a group override with no matching defaults entry (e.g. a flat resolved
+    # run-dir config) swaps the whole node — hydra would error, but node
+    # assignment is what the AUC gate and sample-only runs rely on there
+    for key, val in group_overrides.items():
+        cfg[key] = _compose_file(config_dir, val, key)
+    # drop hydra-runtime node if present (reference configs/hydra.yaml)
+    if "hydra" in cfg:
+        del cfg["hydra"]
     if value_overrides:
         apply_overrides(cfg, value_overrides)
     return cfg
