@@ -31,5 +31,6 @@ run cinn_ab 1200 python tools/stage_ab.py cinn
 # 3. rooflines (VERDICT r2 next #4 / #5)
 run roofline_small 1800 python tools/roofline_small_stages.py
 run roofline_ds3 1200 python tools/roofline_ds3.py
+run roofline_ds2 1200 python tools/roofline_ds3.py --ds2
 
 echo "=== campaign done ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT/campaign.log"

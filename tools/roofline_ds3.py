@@ -1,14 +1,17 @@
-"""ds3 block-residue roofline decomposition (VERDICT round 1, weak #2).
+"""Shape-stage block-residue roofline decomposition (VERDICT r1 weak #2 for
+ds3; ``--ds2`` reuses it for the ds2 headroom question, VERDICT r2 next #5).
 
 Times, as separate jitted programs on the attached device (each looping
 ``INNER`` times inside one jit so dispatch overhead is amortized):
-  - the full DiTBlock stack at ds3 shapes (depth 6),
+  - the full composed DiTBlock stack (attn_impl xla),
+  - the same block through the shipped DiT megakernel (fused_block: true),
   - attention only (qkv -> scores -> softmax -> PV -> proj),
   - the adaLN-MLP half only,
 and prints per-block-eval times next to the analytic MXU / VPU / HBM floors
-(BASELINE.md "Roofline" section).
+(BASELINE.md "Roofline" section). The fused row's MFU against the MXU floor
+IS the remaining headroom number: at 100% the metric is closed.
 
-Run: python tools/roofline_ds3.py  (uses the axon TPU; CPU works but floors
+Run: python tools/roofline_ds3.py [--ds2]  (axon TPU; CPU works but floors
 are v5e-specific).
 """
 
@@ -32,8 +35,12 @@ import jax
 import jax.numpy as jnp
 
 B, N, H, HEADS, MLP = 256, 450, 480, 6, 4
+if "--ds2" in sys.argv:
+    N = 135  # cfm_ds2_electrons.yaml token count; B/H/heads are shared
 D = H // HEADS
 INNER = 40  # large enough that the ~28 ms/dispatch tunnel floor is < 2%
+if "--smoke" in sys.argv:  # CPU plumbing check (interpret-mode kernels)
+    B, INNER = 4, 2
 
 V5E_MXU_TFLOPS = 197e12
 V5E_VPU_OPS = 6.16e12  # 8x128 lanes x 4 ALUs x 1.50 GHz
@@ -77,10 +84,19 @@ def main():
     c = jax.random.normal(jax.random.fold_in(key, 1), (B, H), jnp.float32)
     block = DiTBlock(hidden=H, num_heads=HEADS, mlp_ratio=float(MLP), attn_impl="xla")
     params = block.init(key, x, c)["params"]
+    # the shipped sampling-path kernel tier (identical param tree)
+    block_f = DiTBlock(hidden=H, num_heads=HEADS, mlp_ratio=float(MLP),
+                       attn_impl="auto", fused_block=True)
 
     def full_stack(x, c):
         def body(h, _):
             return block.apply({"params": params}, h, c), None
+        h, _ = jax.lax.scan(body, x, None, length=INNER)
+        return h
+
+    def fused_stack(x, c):
+        def body(h, _):
+            return block_f.apply({"params": params}, h, c), None
         h, _ = jax.lax.scan(body, x, None, length=INNER)
         return h
 
@@ -155,6 +171,7 @@ def main():
     print(f"dispatch floor: {floor * 1e3:.1f} ms (subtracted)")
 
     t_full = timed(full_stack, x, c)
+    t_fused = timed(fused_stack, x, c)
     t_attn = timed(attn_only, x)
     t_mlp = timed(mlp_only, x)
 
@@ -177,6 +194,10 @@ def main():
     print(f"device: {jax.devices()[0].platform}, shapes B={B} N={N} H={H} "
           f"heads={HEADS} (INNER={INNER})")
     report("block", t_full, flop_block, bytes_attn + bytes_mlp, vpu_attn + vpu_mlp)
+    # fused row: one HBM round trip of x per block — its HBM floor is just
+    # 2*B*N*H*f32; the MFU column is the remaining-headroom number
+    report("fused_blk", t_fused, flop_block, 2 * B * N * H * f32,
+           vpu_attn + vpu_mlp)
     report("attn", t_attn, flop_attn, bytes_attn, vpu_attn)
     report("mlp", t_mlp, flop_mlp, bytes_mlp, vpu_mlp)
 
