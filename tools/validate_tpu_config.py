@@ -41,7 +41,8 @@ def parse_classifier_results(run_dir):
             continue
         key = m.group(1)
         with open(path, encoding="utf-8") as f:
-            pairs = re.findall(r"([0-9.]+) / ([0-9.]+)", f.read())
+            # JSD may be negative (estimator noise on near-identical sets)
+            pairs = re.findall(r"(-?[0-9.]+) / (-?[0-9.]+)", f.read())
         if pairs:
             results[key] = (float(pairs[-1][0]), float(pairs[-1][1]))
     return results
@@ -68,11 +69,11 @@ def compare_aucs(parity, tpu, tol=0.02):
     return ok, lines
 
 
-def run_one(config_name, run_name, overrides):
+def run_one(config_name, run_name, overrides, config_path="configs"):
     from main import get_experiment
     from vit4hep_tpu.utils.config import compose
 
-    cfg = compose(config_name=config_name,
+    cfg = compose(config_path=config_path, config_name=config_name,
                   overrides=[f"run_name={run_name}", *overrides])
     get_experiment(cfg.exp_type)(cfg)()
     return os.path.join(cfg.base_dir, "runs", cfg.exp_name, run_name)
@@ -82,6 +83,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-cn", dest="config_name", required=True,
                     help="experiment config (parity model)")
+    ap.add_argument("-cp", dest="config_path", default="configs",
+                    help="config tree root (default: configs)")
     ap.add_argument("--tpu-model", default=None,
                     help="model-group override for the TPU variant "
                          "(default: <model>_tpu)")
@@ -100,9 +103,11 @@ def main(argv=None):
         else "model.net.param.num_heads=3"
     )
     try:
-        parity_dir = run_one(arg.config_name, "auc_gate_parity", arg.overrides)
+        parity_dir = run_one(arg.config_name, "auc_gate_parity", arg.overrides,
+                             config_path=arg.config_path)
         tpu_dir = run_one(arg.config_name, "auc_gate_tpu",
-                          [tpu_override, *arg.overrides])
+                          [tpu_override, *arg.overrides],
+                          config_path=arg.config_path)
     except Exception as e:  # pragma: no cover - surfaced to the caller
         print(f"harness error: {e}")
         return 2
