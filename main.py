@@ -76,13 +76,31 @@ def main(argv=None):
 
         jax.config.update("jax_enable_x64", True)
 
+    rank, world_size = 0, 1
     if cfg.get("distributed", False):
         import jax
 
-        jax.distributed.initialize()
+        # coordination from explicit env — JAX names first, then the
+        # torchrun/DDP names the reference's launch scripts use
+        # (MASTER_ADDR/MASTER_PORT/WORLD_SIZE/RANK, reference main.py:9-26);
+        # with neither set, fall back to jax's cluster autodetection
+        # (SLURM / TPU pod metadata)
+        coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if coord is None and os.environ.get("MASTER_ADDR"):
+            coord = (f"{os.environ['MASTER_ADDR']}:"
+                     f"{os.environ.get('MASTER_PORT', '1234')}")
+        nproc = os.environ.get("JAX_NUM_PROCESSES", os.environ.get("WORLD_SIZE"))
+        pid = os.environ.get("JAX_PROCESS_ID", os.environ.get("RANK"))
+        if coord and nproc is not None and pid is not None:
+            jax.distributed.initialize(coordinator_address=coord,
+                                       num_processes=int(nproc),
+                                       process_id=int(pid))
+        else:
+            jax.distributed.initialize()
+        rank, world_size = jax.process_index(), jax.process_count()
 
     exp_cls = get_experiment(cfg.exp_type)
-    experiment = exp_cls(cfg)
+    experiment = exp_cls(cfg, rank=rank, world_size=world_size)
     experiment()
     LOGGER.info("Run finished")
 

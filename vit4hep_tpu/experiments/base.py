@@ -89,6 +89,11 @@ class BaseExperiment:
 
     def _init_experiment(self):
         self.warm_start = self.cfg.get("warm_start_idx") is not None
+        # pre-force user intent: checkpoint saving is a COLLECTIVE in
+        # multi-process runs (orbax syncs all processes; the primary writes),
+        # so _save_model must be entered by every rank when the user asked
+        # for saving — while all other run-dir writes stay rank-0-only
+        self.save_requested = bool(self.cfg.save)
         self.cfg.save = self.cfg.save and self.rank == 0
 
         if not self.warm_start:
@@ -606,7 +611,12 @@ class BaseExperiment:
                         self.grad_norm_train, "gradient norm", logy=True)
 
     def _save_model(self, filename=None):
-        if not self.cfg.save:
+        # multi-process: every rank must enter (orbax save syncs globally —
+        # a rank-0-only call deadlocks on its internal barrier; found by
+        # tests/test_distributed_e2e.py). Call sites are rank-symmetric
+        # (val-loss decisions are identical across ranks under SPMD).
+        multiproc = jax.process_count() > 1
+        if not (self.cfg.save or (multiproc and self.save_requested)):
             return
         if filename is None:
             filename = f"model_run{self.cfg.run_idx}"

@@ -45,9 +45,36 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays on the mesh, batch-sharded along ``data``."""
+    """Place a pytree of host arrays on the mesh, batch-sharded along ``data``.
+
+    Multi-process: every process holds the SAME full host batch (identical
+    seed => identical loader streams), and each assembles the global array
+    from its own contiguous row chunk via
+    ``make_array_from_process_local_data`` — a purely LOCAL operation. A
+    plain ``device_put`` onto a non-addressable sharding instead runs a
+    cross-process ``process_allgather`` equality check per batch, which is
+    both a bandwidth tax and a deadlock when issued from the prefetch
+    thread while the main thread runs train-step collectives (found by
+    ``tests/test_distributed_e2e.py``). Contiguous-chunk ownership holds
+    because the mesh grid is ``jax.devices()`` reshaped data-major and
+    ``jax.devices()`` orders process 0's devices first.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    pc, pi = jax.process_count(), jax.process_index()
+
+    def put(x):
+        n = x.shape[0]
+        if n % pc:
+            raise ValueError(
+                f"batch axis ({n}) must divide process count ({pc})")
+        chunk = n // pc
+        return jax.make_array_from_process_local_data(
+            sharding, x[pi * chunk:(pi + 1) * chunk], global_shape=x.shape)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):
