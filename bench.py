@@ -332,9 +332,27 @@ def _probe_device(timeout_s=420.0):
         os._exit(2)
 
 
+def _bank_partial(record):
+    """Write the in-progress record after every metric (atomic replace): a
+    mid-run wedge or kill then still leaves everything measured so far, and
+    the wedged-probe fallback's newest-capture glob picks the file up."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_MIDROUND_r03_partial.json")
+    try:
+        with open(path + ".tmp", "w") as f:
+            json.dump(record, f, indent=1)
+        os.replace(path + ".tmp", path)
+    except Exception:
+        pass
+
+
 def main():
     _probe_device()
     value, implied_tflops = bench_ds2()
+    _bank_partial({"metric": "calochallenge_ds2_sampling_throughput",
+                   "value": round(value, 2), "unit": "showers/sec",
+                   "implied_tflops": round(implied_tflops, 1),
+                   "note": "partial (headline only)", "extra": {}})
 
     extra = {}
     extra_specs = [
@@ -361,6 +379,10 @@ def main():
         except Exception:
             traceback.print_exc()
             extra[name] = {"value": None, "unit": unit, "vs_round1": None}
+        _bank_partial({"metric": "calochallenge_ds2_sampling_throughput",
+                       "value": round(value, 2), "unit": "showers/sec",
+                       "implied_tflops": round(implied_tflops, 1),
+                       "note": f"partial (through {name})", "extra": extra})
 
     baseline = bench_torch_cpu_baseline()
     vs = value / baseline if baseline == baseline else None  # NaN check
