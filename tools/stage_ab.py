@@ -6,9 +6,10 @@ Measures `sample_batch` throughput at the shipped workloads
 same timing discipline as bench.py (jitted program per batch, scalar-fetch
 sync, warm-up fetch for tunnel backlog).
 
-Run: python tools/stage_ab.py [energy|cinn|both] [group ...]
+Run: python tools/stage_ab.py [energy|cinn|both] [group ...] [--cfg REL]
   energy: composed vs fused_block=true at each requested kernel group size
-  (default groups: 8 16 32).
+  (default groups: 8 16 32). --cfg picks the energy yaml (default
+  model/cfm/cfm_ds2_energy.yaml) so ds1/ds3 shapes get their own decision.
 """
 
 from __future__ import annotations
@@ -57,14 +58,22 @@ def _rate(model, cond_dim, batch, n_iters=4, seed=0):
     return batch * n_iters / dt
 
 
-def ab_energy(groups=(8, 16, 32), batch=1024):
-    base = _rate(_model("model/cfm/cfm_ds2_energy.yaml"), 1, batch)
-    print(f"energy composed: {base:.1f} u-vec/s")
+def ab_energy(groups=(8, 16, 32), batch=1024,
+              cfg="model/cfm/cfm_ds2_energy.yaml"):
+    def strip(raw):  # measure the composed path even after the config flip
+        raw["net"]["param"].pop("fused_block", None)
+        raw["net"]["param"].pop("fused_group", None)
+    from vit4hep_tpu.utils.config import _load_yaml
+    cond_dim = int(_load_yaml(os.path.join(_REPO, "configs", cfg))
+                   ["net"]["param"]["dims_c"])
+    base = _rate(_model(cfg, strip), cond_dim, batch)
+    print(f"energy composed [{cfg}]: {base:.1f} u-vec/s")
     for g in groups:
         def patch(raw, g=g):
+            strip(raw)
             raw["net"]["param"]["fused_block"] = True
             raw["net"]["param"]["fused_group"] = int(g)
-        r = _rate(_model("model/cfm/cfm_ds2_energy.yaml", patch), 1, batch)
+        r = _rate(_model(cfg, patch), cond_dim, batch)
         print(f"energy fused (group={g}): {r:.1f} u-vec/s "
               f"({(r / base - 1) * 100:+.0f}%)")
 
@@ -75,8 +84,14 @@ def cinn_rate(batch=256):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--smoke"]
-    smoke = "--smoke" in sys.argv  # CPU plumbing check: tiny batch, 1 iter
+    argv = sys.argv[1:]
+    cfg = "model/cfm/cfm_ds2_energy.yaml"
+    if "--cfg" in argv:
+        i = argv.index("--cfg")
+        cfg = argv[i + 1]
+        del argv[i : i + 2]
+    args = [a for a in argv if a != "--smoke"]
+    smoke = "--smoke" in argv  # CPU plumbing check: tiny batch, 1 iter
     which = args[0] if args else "both"
     groups = tuple(int(a) for a in args[1:]) or ((4,) if smoke else (8, 16, 32))
     if smoke:
@@ -85,6 +100,6 @@ if __name__ == "__main__":
     float(jnp.zeros(()))  # absorb first-fetch backlog
     print("device:", jax.devices()[0].platform)
     if which in ("energy", "both"):
-        ab_energy(groups)
+        ab_energy(groups, cfg=cfg)
     if which in ("cinn", "both"):
         cinn_rate()

@@ -40,6 +40,27 @@ def _searchsorted(knots, x):
     )
 
 
+def _gather_bin_params(idx, knot_x, knot_y, derivs):
+    """Select (xk, xkp, yk, ykp, dk, dkp) = arr[..., idx] / arr[..., idx+1]
+    for the three knot arrays (..., K+1) at bin index idx (..., ) in [0, K-1].
+
+    Deliberately NOT take_along_axis: a gather along the minor (lane) axis
+    serializes on TPU — measured 66 ms per coupling inverse at ds2-cINN
+    shapes (256 x 3240 x 11 knots) against a 0.3 ms HBM floor. A one-hot
+    mask-sum is exact (selects identical elements), stays on the VPU, and
+    costs ~12*K flops per element.
+    """
+    nbins = knot_x.shape[-1] - 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nbins,), 0)
+    onehot = (idx[..., None] == iota).astype(knot_x.dtype)
+    out = []
+    for arr in (knot_x, knot_y, derivs):
+        out.append(jnp.sum(arr[..., :-1] * onehot, axis=-1))
+        out.append(jnp.sum(arr[..., 1:] * onehot, axis=-1))
+    xk, xkp, yk, ykp, dk, dkp = out
+    return xk, xkp, yk, ykp, dk, dkp
+
+
 def _rq_bin(x_or_y, xk, xkp, yk, ykp, dk, dkp, rev):
     """Evaluate one rational-quadratic bin (forward eq. 4, inverse eq. 6-8,
     log-derivative eq. 5 of arXiv:1906.04032). All args elementwise."""
@@ -142,10 +163,7 @@ def nflows_rqs(x, theta, num_bins, bound, rev=False, event_mask=True):
     x_safe = jnp.clip(x, -bound, bound)
 
     idx = _searchsorted(knot_y if rev else knot_x, x_safe)
-    take = lambda arr: jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
-    xk, xkp = take(knot_x[..., :-1]), take(knot_x[..., 1:])
-    yk, ykp = take(knot_y[..., :-1]), take(knot_y[..., 1:])
-    dk, dkp = take(derivs[..., :-1]), take(derivs[..., 1:])
+    xk, xkp, yk, ykp, dk, dkp = _gather_bin_params(idx, knot_x, knot_y, derivs)
 
     y_spline, log_deriv = _rq_bin(x_safe, xk, xkp, yk, ykp, dk, dkp, rev)
 
@@ -265,10 +283,7 @@ def binned_rqs(x, params, rev=False):
     ref_knots = knot_y if rev else knot_x
     x_safe = jnp.clip(x, ref_knots[..., 0], ref_knots[..., -1])
     idx = _searchsorted(ref_knots, x_safe)
-    take = lambda arr: jnp.take_along_axis(arr, idx[..., None], axis=-1)[..., 0]
-    xk, xkp = take(knot_x[..., :-1]), take(knot_x[..., 1:])
-    yk, ykp = take(knot_y[..., :-1]), take(knot_y[..., 1:])
-    dk, dkp = take(derivs[..., :-1]), take(derivs[..., 1:])
+    xk, xkp, yk, ykp, dk, dkp = _gather_bin_params(idx, knot_x, knot_y, derivs)
 
     y_spline, log_deriv = _rq_bin(x_safe, xk, xkp, yk, ykp, dk, dkp, rev)
 
