@@ -199,7 +199,10 @@ def _fwd(tgt, tf, cross, ln_s, ln_b, wqkv, bqkv, wo, bo, w1, b1, w2, b2,
     hdim0 = hw0.shape[-1]
     mm_dtype = jnp.float32 if _interpret() else jnp.bfloat16
 
-    g = max(1, min(group, b))
+    # The (g, te) time-feature block puts g on the sublane axis, which Mosaic
+    # requires to be a multiple of 8 (or the full batch): round the group up
+    # rather than failing the lowering (fused_group: 4 crashed otherwise).
+    g = (max(1, min(group, b)) + 7) // 8 * 8
     pad = (-b) % g
     if pad:
         tgt = jnp.concatenate([tgt, jnp.zeros((pad, n, dm), tgt.dtype)], 0)
