@@ -248,8 +248,42 @@ def roofline_cinn(batch=256):
     hbm = depth * 2 * (4 * act + 2 * sc + 2 * ffh + 4 * act)
     vops = batch * depth * (heads * n_tok * n_tok * 6 + n_tok * 4 * hdim * 10)
     report("cinn subnet fwd", t_sub, flop, hbm, vops)
-    print(f"  {nb} subnets at this rate = "
-          f"{batch / (nb * t_sub):.1f} showers/s ceiling from subnets alone")
+    # each two-sided coupling runs subnet1 and subnet2 SEQUENTIALLY
+    # (bijectors.BinnedRQSCouplingBlock._run: y2 needs x1, y1 needs y2), so
+    # the per-sample subnet count is 2*nb, not nb
+    print(f"  {2 * nb} sequential subnets at this rate = "
+          f"{batch / (2 * nb * t_sub):.1f} showers/s ceiling from subnets alone")
+
+    # ---- block-level micros on the real (bound) flow ----
+    # full coupling inverse and permute inverse, straight from the nets the
+    # sampler actually runs (sample_net twin when shipped, composed otherwise)
+    full_tokens = jax.device_put(
+        np.random.randn(batch, 2 * T_half, P).astype(np.float32) * 0.5)
+
+    def _block_scan(net, idx):
+        def fn(pr, h0, cc):
+            def body(h, _):
+                o, _ld = net.bind(pr).blocks[idx].inverse(h, cc)
+                return jnp.clip(h + 1e-3 * (o - h), -8.0, 8.0), None
+            h, _ = jax.lax.scan(body, h0, None, length=INNER)
+            return h
+        return timed(fn, params, full_tokens, cond)
+
+    i_cb = next(i for i, b in enumerate(model.net.blocks)
+                if hasattr(b, "subnet_ctor"))
+    i_pm = next(i for i, b in enumerate(model.net.blocks)
+                if b.__class__.__name__ == "Permute")
+    coup_flop = 2 * flop  # 2 sequential subnets per coupling
+    t_coup = _block_scan(model.net, i_cb)
+    report("cinn coupling inv (composed)", t_coup, coup_flop, 0, 0)
+    if model.sample_net is not None:
+        t_coup_k = _block_scan(model.sample_net, i_cb)
+        report("cinn coupling inv (twin)", t_coup_k, coup_flop, 0, 0)
+        print(f"  {nb} couplings at twin rate = "
+              f"{batch / (nb * t_coup_k):.1f} showers/s ceiling from couplings alone")
+    t_perm = _block_scan(model.net, i_pm)
+    perm_bytes = 2 * batch * 2 * T_half * P * f32
+    report("cinn permute inv", t_perm, 0, perm_bytes, 0)
 
     # ---- RQS inverse alone, scanned ----
     from vit4hep_tpu.ops.rqs import binned_constrain, binned_rqs
