@@ -79,8 +79,19 @@ def ab_energy(groups=(8, 16, 32), batch=1024,
 
 
 def cinn_rate(batch=256):
-    r = _rate(_model("model/cinn/cinn_ds2_electrons.yaml"), 46, batch)
-    print(f"cinn ds2 sampler: {r:.1f} showers/s")
+    """A/B the shipped vit_kwargs `fused_block: sample` twin against the
+    composed inverse (post-spline-fix the RQS inverse no longer dominates,
+    so the twin's recompute/bf16 trade must be re-decided on-chip)."""
+    cfg = "model/cinn/cinn_ds2_electrons.yaml"
+
+    def strip(raw):
+        raw["vit_kwargs"].pop("fused_block", None)
+
+    base = _rate(_model(cfg, strip), 46, batch)
+    print(f"cinn ds2 sampler (composed): {base:.1f} showers/s")
+    r = _rate(_model(cfg), 46, batch)
+    print(f"cinn ds2 sampler (shipped twin): {r:.1f} showers/s "
+          f"({(r / base - 1) * 100:+.0f}%)")
 
 
 if __name__ == "__main__":
