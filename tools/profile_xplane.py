@@ -107,9 +107,10 @@ def main():
 
     yaml_rel = sys.argv[1] if len(sys.argv) > 1 else "model/cfm/cfm_ds2_electrons.yaml"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    cond_dim = int(sys.argv[3]) if len(sys.argv) > 3 else 46
     trace_dir = tempfile.mkdtemp(prefix="xplane_")
-    print(f"tracing {yaml_rel} (batch {batch}) -> {trace_dir}")
-    capture(trace_dir, yaml_rel, batch)
+    print(f"tracing {yaml_rel} (batch {batch}, cond_dim {cond_dim}) -> {trace_dir}")
+    capture(trace_dir, yaml_rel, batch, cond_dim=cond_dim)
     summarize(trace_dir)
 
 

@@ -78,20 +78,28 @@ def ab_energy(groups=(8, 16, 32), batch=1024,
               f"({(r / base - 1) * 100:+.0f}%)")
 
 
-def cinn_rate(batch=256):
-    """A/B the shipped vit_kwargs `fused_block: sample` twin against the
-    composed inverse (post-spline-fix the RQS inverse no longer dominates,
-    so the twin's recompute/bf16 trade must be re-decided on-chip)."""
+def cinn_rate(batch=256, groups=(1, 8, 16, 32)):
+    """A/B the composed cINN inverse (the shipped default since the
+    round-3 spline fix) against the `fused_block: sample` twin at each
+    batch-group size: group=1 is the retired round-2 twin (measured -6%);
+    grouped panels are the fused_energy_decoder trick applied to the tiny
+    ViT1D subnet shapes (N=135, H=192 at ds2)."""
     cfg = "model/cinn/cinn_ds2_electrons.yaml"
 
     def strip(raw):
         raw["vit_kwargs"].pop("fused_block", None)
+        raw["vit_kwargs"].pop("fused_group", None)
 
     base = _rate(_model(cfg, strip), 46, batch)
     print(f"cinn ds2 sampler (composed): {base:.1f} showers/s")
-    r = _rate(_model(cfg), 46, batch)
-    print(f"cinn ds2 sampler (shipped twin): {r:.1f} showers/s "
-          f"({(r / base - 1) * 100:+.0f}%)")
+    for g in groups:
+        def patch(raw, g=g):
+            strip(raw)
+            raw["vit_kwargs"]["fused_block"] = "sample"
+            raw["vit_kwargs"]["fused_group"] = int(g)
+        r = _rate(_model(cfg, patch), 46, batch)
+        print(f"cinn twin (group={g}): {r:.1f} showers/s "
+              f"({(r / base - 1) * 100:+.0f}%)")
 
 
 if __name__ == "__main__":
@@ -113,4 +121,4 @@ if __name__ == "__main__":
     if which in ("energy", "both"):
         ab_energy(groups, cfg=cfg)
     if which in ("cinn", "both"):
-        cinn_rate()
+        cinn_rate(groups=(1,) + groups)

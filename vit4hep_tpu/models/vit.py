@@ -83,6 +83,12 @@ class ViTParams:
     # PER BLOCK instead of the whole-stack kernel (e.g. if Mosaic's compile
     # time or VMEM behavior regresses at a new depth/width)
     fused_stack: bool = True
+    # batch-group size for the stack / whole-ViT kernels: G batch elements
+    # per grid cell, so panel matmuls see G*N rows (the fused_energy_decoder
+    # trick — what makes small-subnet shapes like the cINN ViT1D reach the
+    # MXU). 1 = the round-2 per-element grid. Numerics are identical per
+    # element; VMEM scales with G, gated by stack_vmem_estimate.
+    fused_group: int = 1
     # TPU-specific: zero-pad head_dim up to the 128-lane tile inside the QKV /
     # out-projection kernels (bit-exact: padded q/k dims contribute 0 to the
     # logits, padded v columns are dropped by zero rows of the out kernel).
@@ -497,8 +503,7 @@ class _ViTBase(nn.Module):
         MlpBlock_0}), so checkpoints are interchangeable. Falls back to
         the per-block megakernel when the stack's VMEM estimate exceeds
         the 128M budget."""
-        from vit4hep_tpu.ops.fused_dit_block import (
-            fused_dit_stack, stack_vmem_estimate)
+        from vit4hep_tpu.ops.fused_dit_block import fused_dit_stack
 
         p = self.cfg
         mlp_hidden = int(p.hidden_dim * p.mlp_ratio)
@@ -513,10 +518,10 @@ class _ViTBase(nn.Module):
             weights.append(ws)
         # fall back when the kernel's own 1.3x-margined VMEM request would
         # hit the 128M cap (128/1.3 ~ 98M) — past that, the stack compiles
-        # with less headroom than its sizing model demands
-        if not p.fused_stack or stack_vmem_estimate(
-            n, p.hidden_dim, mlp_hidden, p.depth, p.num_heads
-        ) > 98 * 1024 * 1024:
+        # with less headroom than its sizing model demands. The group drops
+        # to whatever still fits before the per-block fallback kicks in.
+        group = self._fit_group(n, mlp_hidden)
+        if not p.fused_stack or group == 0:
             from vit4hep_tpu.ops.fused_dit_block import fused_dit_block
 
             head_scale = float(p.hidden_dim // p.num_heads) ** -0.5
@@ -529,8 +534,24 @@ class _ViTBase(nn.Module):
         stacked = [jnp.stack(arrs) for arrs in zip(*weights)]
         return fused_dit_stack(
             x.astype(jnp.float32), jnp.stack(mods, axis=1), *stacked, mask,
-            p.num_heads, float(p.hidden_dim // p.num_heads) ** -0.5,
+            p.num_heads, float(p.hidden_dim // p.num_heads) ** -0.5, group,
         )
+
+    def _fit_group(self, n, mlp_hidden):
+        """Largest group size <= cfg.fused_group whose stack-kernel VMEM
+        estimate fits the 98M gate (halving steps); 0 = nothing fits (the
+        caller falls back to per-block kernels)."""
+        from vit4hep_tpu.ops.fused_dit_block import stack_vmem_estimate
+
+        p = self.cfg
+        g = max(1, int(p.fused_group))
+        while g >= 1:
+            if stack_vmem_estimate(
+                n, p.hidden_dim, mlp_hidden, p.depth, p.num_heads, g
+            ) <= 98 * 1024 * 1024:
+                return g
+            g //= 2
+        return 0
 
 
     def _fused_vit(self, tokens, cond, mask, out_dim, pos):
@@ -540,15 +561,13 @@ class _ViTBase(nn.Module):
         the prediction. Param tree identical to the composed modules.
         Returns None (caller falls back) when the VMEM estimate exceeds the
         budget."""
-        from vit4hep_tpu.ops.fused_dit_block import (
-            fused_vit_forward, stack_vmem_estimate)
+        from vit4hep_tpu.ops.fused_dit_block import fused_vit_forward
 
         p = self.cfg
         b, n, pdim = tokens.shape
         mlp_hidden = int(p.hidden_dim * p.mlp_ratio)
-        if stack_vmem_estimate(
-            n, p.hidden_dim, mlp_hidden, p.depth, p.num_heads
-        ) > 98 * 1024 * 1024:
+        group = self._fit_group(n, mlp_hidden)
+        if group == 0:
             return None
         wemb, bemb = _DenseParams(pdim, p.hidden_dim, name="x_embedder")()
         pos = pos.astype(jnp.float32)
@@ -568,7 +587,7 @@ class _ViTBase(nn.Module):
             tokens.astype(jnp.float32), pos, jnp.stack(mods, axis=1),
             fmod.reshape(b, 2, p.hidden_dim), wemb, bemb, *stacked,
             wfin, bfin, mask, p.num_heads,
-            float(p.hidden_dim // p.num_heads) ** -0.5,
+            float(p.hidden_dim // p.num_heads) ** -0.5, group,
         )
 
 

@@ -102,6 +102,59 @@ def _block_body(x, mod, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, *,
     return x1 + mod[5:6] * y
 
 
+def _block_body_g(x, mod, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, *,
+                  num_heads, head_dim, scale, mm_dtype):
+    """Grouped twin of :func:`_block_body`: one adaLN-Zero block on a
+    (G, N, H) panel of G batch elements with per-element mod (G, 6, H).
+
+    The panel matmuls (qkv/out/MLP) contract over the last axis, so the MXU
+    sees G*N rows per op instead of N — this is what makes small-subnet
+    shapes (cINN ViT1D: N=135, H=192) pay; per-element attention runs as
+    G-batched dot_generals. Keep the math in lockstep with _block_body
+    (same op order, same dtypes) — the two must stay numerically identical
+    per element."""
+
+    def mm(a, w):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), w.astype(mm_dtype),
+            (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def bmm(a, b, ca, cb):  # batched over the leading G axis
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), b.astype(mm_dtype),
+            (((ca,), (cb,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    # ---- attention half -------------------------------------------------
+    h = _ln(x) * (1.0 + mod[:, 1:2]) + mod[:, 0:1]
+    qkv = mm(h, wqkv) + bqkv[None, None, :].astype(jnp.float32)  # (G, N, 3H)
+    h_tot, d = num_heads, head_dim
+    ctx = []
+    for hi in range(h_tot):
+        q = qkv[:, :, hi * d:(hi + 1) * d]
+        k = qkv[:, :, (h_tot + hi) * d:(h_tot + hi + 1) * d]
+        v = qkv[:, :, (2 * h_tot + hi) * d:(2 * h_tot + hi + 1) * d]
+        s = bmm(q, k, 2, 2) * scale  # (G, N, N)
+        if mask is not None:
+            s = jnp.where(mask[None], s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        ctx.append(bmm(p, v, 2, 1) / jnp.where(l == 0.0, 1.0, l))
+    attn = mm(jnp.concatenate(ctx, axis=-1), wout)
+    x1 = x + mod[:, 2:3] * (attn + bout[None, None, :].astype(jnp.float32))
+
+    # ---- MLP half --------------------------------------------------------
+    h2 = _ln(x1) * (1.0 + mod[:, 4:5]) + mod[:, 3:4]
+    hid = jax.nn.gelu(mm(h2, w1) + b1[None, None, :].astype(jnp.float32),
+                      approximate=True)
+    y = mm(hid, w2) + b2[None, None, :].astype(jnp.float32)
+    return x1 + mod[:, 5:6] * y
+
+
 def _block_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
                          bout_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref,
                          o_ref, *, num_heads, head_dim, scale, mm_dtype):
@@ -144,9 +197,47 @@ def _stack_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def _stack_kernel_g_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
+                           bout_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref,
+                           o_ref, *, depth, num_heads, head_dim, scale,
+                           mm_dtype):
+    """Grouped stack kernel: all ``depth`` blocks on a VMEM-resident
+    (G, N, H) panel of G batch elements."""
+    x = x_ref[...].astype(jnp.float32)
+    mask = mask_ref[0] if mask_ref is not None else None
+    for li in range(depth):
+        x = _block_body_g(
+            x, mod_ref[:, li].astype(jnp.float32),
+            wqkv_ref[li], bqkv_ref[li], wout_ref[li], bout_ref[li],
+            w1_ref[li], b1_ref[li], w2_ref[li], b2_ref[li], mask,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            mm_dtype=mm_dtype,
+        )
+    o_ref[...] = x.astype(o_ref.dtype)
+
+
+def _stack_kernel_g(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref, o_ref, **kw):
+    _stack_kernel_g_masked(
+        x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref, None, o_ref, **kw
+    )
+
+
+def _pad_batch(arrs, b, group):
+    """Zero-pad the leading batch axis of each array to a multiple of
+    ``group`` (zero rows are numerically inert here: LN of zeros is zeros,
+    softmax rows are uniform, and the pad slice is dropped by the caller)."""
+    pad = (-b) % group
+    if pad == 0:
+        return arrs, b
+    return [jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)) for a in arrs], \
+        b + pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def fused_dit_stack(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
-                    num_heads, scale):
+                    num_heads, scale, group=1):
     """The whole DiT-block stack as ONE Pallas kernel per batch element.
 
     x (B, N, H); mods (B, L, 6, H); weights stacked on a leading (L, ...)
@@ -158,33 +249,42 @@ def fused_dit_stack(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
     The backward recomputes each block's input with the per-block forward
     megakernel and then runs the backward megakernel per block in reverse —
     fully Pallas, no composed fallback — so `fused_block: true` trains on
-    the kernels end to end."""
+    the kernels end to end.
+
+    ``group`` > 1 processes G batch elements per grid cell (the
+    fused_energy_decoder trick): the panel matmuls see G*N rows, which is
+    what makes small-subnet shapes (cINN ViT1D) reach the MXU. Ragged
+    batches are zero-padded to a multiple of G and sliced back."""
     out, _ = _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
-                        mask, num_heads, scale)
+                        mask, num_heads, scale, group)
     return out
 
 
-def stack_vmem_estimate(n, hdim, fdim, depth, num_heads):
+def stack_vmem_estimate(n, hdim, fdim, depth, num_heads, group=1):
     """Approximate VMEM footprint (bytes) of the stack kernel: bf16 weights
-    resident + double-buffered panels + one head's live score blocks."""
+    resident + double-buffered panels + one head's live score blocks (both
+    scale with the batch group size)."""
     wbytes = 2 * depth * (hdim * 3 * hdim + hdim * hdim + 2 * hdim * fdim)
-    panels = 4 * n * (2 * hdim + 3 * hdim + fdim) * 2
-    scores = 12 * n * n
+    panels = group * 4 * n * (2 * hdim + 3 * hdim + fdim) * 2
+    scores = group * 12 * n * n
     return wbytes + panels + scores
 
 
 def _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
-               num_heads, scale):
+               num_heads, scale, group=1):
     b, n, hdim = x.shape
     depth = wqkv.shape[0]
     d = hdim // num_heads
     fdim = w1.shape[-1]
     mm_dtype = jnp.float32 if _interpret() else jnp.bfloat16
+    g = max(1, int(group))
+    res = (x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask)
+    (x, mods), bp = _pad_batch([x, mods], b, g)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     in_specs = [
-        pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, depth, 6, hdim), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((g, n, hdim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((g, depth, 6, hdim), lambda i: (i, 0, 0, 0)),
         const(depth, hdim, 3 * hdim), const(depth, 3 * hdim),
         const(depth, hdim, hdim), const(depth, hdim),
         const(depth, hdim, fdim), const(depth, fdim),
@@ -201,7 +301,9 @@ def _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
         args.append(mask[None])
 
     kernel = functools.partial(
-        _stack_kernel_masked if mask is not None else _stack_kernel,
+        (_stack_kernel_masked if mask is not None else _stack_kernel)
+        if g == 1 else
+        (_stack_kernel_g_masked if mask is not None else _stack_kernel_g),
         depth=depth,
         num_heads=num_heads,
         head_dim=d,
@@ -211,27 +313,29 @@ def _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
     vmem = min(128 * 1024 * 1024,
                max(64 * 1024 * 1024,
                    int(1.3 * stack_vmem_estimate(n, hdim, fdim, depth,
-                                                 num_heads))))
+                                                 num_heads, g))))
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(bp // g,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n, hdim), x.dtype),
+        out_specs=pl.BlockSpec((g, n, hdim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, n, hdim), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=vmem,
         ),
         interpret=_interpret(),
     )(*args)
-    return out, (x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask)
+    return out[:b], res
 
 
-def _stack_bwd(num_heads, scale, res, g):
+def _stack_bwd(num_heads, scale, group, res, g):
     """All-Pallas stack backward: recompute each block's input with the
     per-block forward megakernel (L-1 extra forwards), then run the
     backward megakernel per block in reverse — so `fused_block: true`
-    training never touches the composed path."""
+    training never touches the composed path. ``group`` only shapes the
+    forward's grid; the residuals are the raw inputs, so the backward is
+    group-independent."""
     x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask = res
     depth = wqkv.shape[0]
 
@@ -516,25 +620,73 @@ def _vit_kernel(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref, bemb_ref,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18))
+def _vit_kernel_g_masked(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref,
+                         bemb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                         w1_ref, b1_ref, w2_ref, b2_ref, wfin_ref, bfin_ref,
+                         mask_ref, o_ref, *, depth, num_heads, head_dim,
+                         scale, mm_dtype):
+    """Grouped whole-ViT kernel: embedding + all blocks + FinalLayer on a
+    (G, N, P) token panel of G batch elements (see :func:`_block_body_g`
+    for why grouping pays at small-subnet shapes)."""
+
+    def mm(a, w):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), w.astype(mm_dtype),
+            (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    tok = tok_ref[...].astype(jnp.float32)  # (G, N, P)
+    x = mm(tok, wemb_ref[...]) + bemb_ref[...][None, None, :].astype(jnp.float32)
+    x = x + pos_ref[...][None].astype(jnp.float32)
+    mask = mask_ref[0] if mask_ref is not None else None
+    for li in range(depth):
+        x = _block_body_g(
+            x, mods_ref[:, li].astype(jnp.float32),
+            wqkv_ref[li], bqkv_ref[li], wout_ref[li], bout_ref[li],
+            w1_ref[li], b1_ref[li], w2_ref[li], b2_ref[li], mask,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            mm_dtype=mm_dtype,
+        )
+    fm = fmod_ref[...].astype(jnp.float32)  # (G, 2, H)
+    u = _ln(x) * (1.0 + fm[:, 1:2]) + fm[:, 0:1]
+    out = mm(u, wfin_ref[...]) + bfin_ref[...][None, None, :].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _vit_kernel_g(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref, bemb_ref,
+                  wqkv_ref, bqkv_ref, wout_ref, bout_ref, w1_ref, b1_ref,
+                  w2_ref, b2_ref, wfin_ref, bfin_ref, o_ref, **kw):
+    _vit_kernel_g_masked(
+        tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref, bemb_ref,
+        wqkv_ref, bqkv_ref, wout_ref, bout_ref, w1_ref, b1_ref, w2_ref,
+        b2_ref, wfin_ref, bfin_ref, None, o_ref, **kw
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19))
 def fused_vit_forward(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
                       bout, w1, b1, w2, b2, wfin, bfin, mask, num_heads,
-                      scale):
+                      scale, group=1):
     """Whole-ViT sampler forward as ONE Pallas kernel per batch element.
 
     tokens (B, N, P); pos (N, H); mods (B, L, 6, H); fmod (B, 2, H)
     [shift, scale]; wemb (P, H); block weights stacked (L, ...); wfin
     (H, OUT). Returns (B, N, OUT). The backward is the VJP of the
     composed jnp reference — this is the SAMPLING path, gradients through
-    it are a correctness fallback, not a hot path."""
+    it are a correctness fallback, not a hot path.
+
+    ``group`` > 1 processes G batch elements per grid cell (the
+    fused_energy_decoder trick): panel matmuls see G*N rows, which is what
+    makes small-subnet shapes (cINN ViT1D: N=135, H=192) reach the MXU."""
     out, _ = _vit_fwd(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv,
                       wout, bout, w1, b1, w2, b2, wfin, bfin, mask,
-                      num_heads, scale)
+                      num_heads, scale, group)
     return out
 
 
 def _vit_fwd(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout, bout,
-             w1, b1, w2, b2, wfin, bfin, mask, num_heads, scale):
+             w1, b1, w2, b2, wfin, bfin, mask, num_heads, scale, group=1):
     b, n, pdim = tokens.shape
     hdim = wemb.shape[1]
     depth = wqkv.shape[0]
@@ -542,13 +694,17 @@ def _vit_fwd(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout, bout,
     fdim = w1.shape[-1]
     out_dim = wfin.shape[1]
     mm_dtype = jnp.float32 if _interpret() else jnp.bfloat16
+    g = max(1, int(group))
+    res = (tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
+           bout, w1, b1, w2, b2, wfin, bfin, mask)
+    (tokens, mods, fmod), bp = _pad_batch([tokens, mods, fmod], b, g)
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     in_specs = [
-        pl.BlockSpec((1, n, pdim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((g, n, pdim), lambda i: (i, 0, 0)),
         const(n, hdim),
-        pl.BlockSpec((1, depth, 6, hdim), lambda i: (i, 0, 0, 0)),
-        pl.BlockSpec((1, 2, hdim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((g, depth, 6, hdim), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((g, 2, hdim), lambda i: (i, 0, 0)),
         const(pdim, hdim), const(hdim,),
         const(depth, hdim, 3 * hdim), const(depth, 3 * hdim),
         const(depth, hdim, hdim), const(depth, hdim),
@@ -568,7 +724,9 @@ def _vit_fwd(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout, bout,
         args.append(mask[None])
 
     kernel = functools.partial(
-        _vit_kernel_masked if mask is not None else _vit_kernel,
+        (_vit_kernel_masked if mask is not None else _vit_kernel)
+        if g == 1 else
+        (_vit_kernel_g_masked if mask is not None else _vit_kernel_g),
         depth=depth,
         num_heads=num_heads,
         head_dim=d,
@@ -578,24 +736,23 @@ def _vit_fwd(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout, bout,
     vmem = min(
         128 * 1024 * 1024,
         max(64 * 1024 * 1024,
-            int(1.3 * (stack_vmem_estimate(n, hdim, fdim, depth, num_heads)
+            int(1.3 * (stack_vmem_estimate(n, hdim, fdim, depth, num_heads, g)
                        + 2 * (pdim * hdim + hdim * out_dim)
-                       + 4 * n * (hdim + pdim + out_dim)))),
+                       + g * 4 * n * (hdim + pdim + out_dim)))),
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(bp // g,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n, out_dim), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n, out_dim), tokens.dtype),
+        out_specs=pl.BlockSpec((g, n, out_dim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, n, out_dim), tokens.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=vmem,
         ),
         interpret=_interpret(),
     )(*args)
-    return out, (tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
-                 bout, w1, b1, w2, b2, wfin, bfin, mask)
+    return out[:b], res
 
 
 def vit_forward_reference(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv,
@@ -614,11 +771,13 @@ def vit_forward_reference(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv,
     return u @ wfin + bfin
 
 
-def _vit_bwd(num_heads, scale, res, g):
+def _vit_bwd(num_heads, scale, group, res, g):
     """Kernel-path backward: jnp VJPs for the (tiny) embedder and final
     layer, per-block forward megakernels to recompute the block inputs,
     and the backward megakernel per block in reverse — the block math
-    (the FLOPs) never touches the composed path."""
+    (the FLOPs) never touches the composed path. ``group`` only shapes
+    the forward's grid; the residuals are the raw inputs, so the backward
+    is group-independent."""
     (tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout, bout, w1, b1,
      w2, b2, wfin, bfin, mask) = res
     depth = wqkv.shape[0]
