@@ -177,10 +177,11 @@ def test_tp_matches_replicated_at_kernel_shapes():
     np.testing.assert_allclose(out_tp, out_ref, atol=1e-5)
 
 
-def _fused_block_model(fused_stack=True):
+def _fused_block_model(fused_stack=True, fused_group=1):
     """144-token model with the DiT megakernel tier enabled (fused_block: true):
     with fused_stack the whole-ViT kernel (ops/fused_dit_block.py:
-    fused_vit_forward) runs; without it, one megakernel per block."""
+    fused_vit_forward) runs; without it, one megakernel per block.
+    fused_group > 1 exercises the batch-grouped grid."""
     from vit4hep_tpu.utils.config import instantiate
 
     return instantiate({
@@ -190,19 +191,23 @@ def _fused_block_model(fused_stack=True):
         "net": {"_target_": "nn.vit.ViT", "param": {
             "dim": 3, "condition_dim": 3, "hidden_dim": 48, "depth": 2,
             "num_heads": 2, "mlp_ratio": 2.0, "num_patches": [[9, 8, 2]],
-            "patch_dim": 1, "fused_block": True, "fused_stack": fused_stack}},
+            "patch_dim": 1, "fused_block": True, "fused_stack": fused_stack,
+            "fused_group": fused_group}},
     })
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("fused_stack", [True, False],
-                         ids=["whole_vit_kernel", "per_block_megakernel"])
-def test_tp_fused_block_matches_replicated(fused_stack):
+@pytest.mark.parametrize("fused_stack,fused_group", [
+    (True, 1), (False, 1), (True, 2),
+], ids=["whole_vit_kernel", "per_block_megakernel", "grouped_whole_vit"])
+def test_tp_fused_block_matches_replicated(fused_stack, fused_group):
     """VERDICT r2 #6: the whole-ViT kernel and the per-block DiT megakernel
     must compose with Megatron TP — XLA's SPMD partitioner resolves each
     pallas_call against column/row-sharded qkv/out/MLP weights. Parity is
-    checked TP vs replicated AND fused vs composed on the same params."""
-    model = _fused_block_model(fused_stack)
+    checked TP vs replicated AND fused vs composed on the same params.
+    The grouped variant (fused_group 2, local batch 2 per data shard) checks
+    the batch-grouped grid still partitions over the data axis."""
+    model = _fused_block_model(fused_stack, fused_group)
     params = model.init_params(jax.random.PRNGKey(0))
     x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 1, 9, 8, 2)), jnp.float32)
     t = jnp.full((8, 1), 0.4)
@@ -227,6 +232,12 @@ def test_tp_fused_block_matches_replicated(fused_stack):
     out_composed = np.asarray(jax.jit(
         lambda p, x, t, c: composed.forward(p, x, t, c))(params, x, t, c))
     np.testing.assert_allclose(out_rep, out_composed, atol=1e-4)
+
+    if fused_group > 1:  # grouped == per-element grid to f32 roundoff
+        ungrouped = _fused_block_model(fused_stack, 1)
+        out_g1 = np.asarray(jax.jit(
+            lambda p, x, t, c: ungrouped.forward(p, x, t, c))(params, x, t, c))
+        np.testing.assert_allclose(out_rep, out_g1, atol=1e-5)
 
 
 def _tiny_vit_model_144():

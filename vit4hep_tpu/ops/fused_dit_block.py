@@ -102,57 +102,73 @@ def _block_body(x, mod, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, *,
     return x1 + mod[5:6] * y
 
 
-def _block_body_g(x, mod, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, *,
+def _mod_bcast(oh, mod, k):
+    """Broadcast per-element adaLN row ``mod[:, k]`` (G, H) to panel rows
+    (G*N, H) via the one-hot (G*N, G) matmul — a pure 2-D op (no reshape
+    for Mosaic to choke on), f32 so modulation numerics match the
+    elementwise ungrouped path."""
+    return jax.lax.dot_general(
+        oh, mod[:, k], ((((1,), (0,))), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _block_body_g(x, mod, oh, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, *,
                   num_heads, head_dim, scale, mm_dtype):
-    """Grouped twin of :func:`_block_body`: one adaLN-Zero block on a
-    (G, N, H) panel of G batch elements with per-element mod (G, 6, H).
+    """Grouped twin of :func:`_block_body`: one adaLN-Zero block on a FLAT
+    (G*N, H) panel of G batch elements with per-element mod (G, 6, H).
 
-    The panel matmuls (qkv/out/MLP) contract over the last axis, so the MXU
-    sees G*N rows per op instead of N — this is what makes small-subnet
-    shapes (cINN ViT1D: N=135, H=192) pay; per-element attention runs as
-    G-batched dot_generals. Keep the math in lockstep with _block_body
-    (same op order, same dtypes) — the two must stay numerically identical
-    per element."""
+    All ops stay 2-D (the Mosaic-proven fused_energy_decoder pattern —
+    3-D dot_generals shape-cast their (G, N, H) operand to (G*N, H),
+    which fails to lower at sublane-unaligned N like the cINN's 135):
+    adaLN vectors broadcast to rows through the one-hot ``oh`` matmul and
+    self-attention runs as one (G*N, G*N) score matmul under the
+    caller-built block-diagonal ``mask``. The panel matmuls (qkv/out/MLP)
+    see G*N rows per op instead of N — what makes small-subnet shapes
+    (cINN ViT1D: N=135, H=192) reach the MXU; the off-diagonal score
+    tiles are wasted FLOPs, which is why grouping is a measured opt-in."""
 
-    def mm(a, w):
+    def mm(a, w, dims=((1,), (0,))):
         return jax.lax.dot_general(
-            a.astype(mm_dtype), w.astype(mm_dtype),
-            (((a.ndim - 1,), (0,)), ((), ())),
+            a.astype(mm_dtype), w.astype(mm_dtype), (dims, ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    def bmm(a, b, ca, cb):  # batched over the leading G axis
-        return jax.lax.dot_general(
-            a.astype(mm_dtype), b.astype(mm_dtype),
-            (((ca,), (cb,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+    bc = lambda k: _mod_bcast(oh, mod, k)
 
     # ---- attention half -------------------------------------------------
-    h = _ln(x) * (1.0 + mod[:, 1:2]) + mod[:, 0:1]
-    qkv = mm(h, wqkv) + bqkv[None, None, :].astype(jnp.float32)  # (G, N, 3H)
+    h = _ln(x) * (1.0 + bc(1)) + bc(0)
+    qkv = mm(h, wqkv) + bqkv[None, :].astype(jnp.float32)  # (G*N, 3H)
     h_tot, d = num_heads, head_dim
     ctx = []
     for hi in range(h_tot):
-        q = qkv[:, :, hi * d:(hi + 1) * d]
-        k = qkv[:, :, (h_tot + hi) * d:(h_tot + hi + 1) * d]
-        v = qkv[:, :, (2 * h_tot + hi) * d:(2 * h_tot + hi + 1) * d]
-        s = bmm(q, k, 2, 2) * scale  # (G, N, N)
-        if mask is not None:
-            s = jnp.where(mask[None], s, _NEG_INF)
+        q = qkv[:, hi * d:(hi + 1) * d]
+        k = qkv[:, (h_tot + hi) * d:(h_tot + hi + 1) * d]
+        v = qkv[:, (2 * h_tot + hi) * d:(2 * h_tot + hi + 1) * d]
+        s = mm(q, k, ((1,), (1,))) * scale  # (G*N, G*N)
+        s = jnp.where(mask, s, _NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        ctx.append(bmm(p, v, 2, 1) / jnp.where(l == 0.0, 1.0, l))
+        ctx.append(mm(p, v) / jnp.where(l == 0.0, 1.0, l))
     attn = mm(jnp.concatenate(ctx, axis=-1), wout)
-    x1 = x + mod[:, 2:3] * (attn + bout[None, None, :].astype(jnp.float32))
+    x1 = x + bc(2) * (attn + bout[None, :].astype(jnp.float32))
 
     # ---- MLP half --------------------------------------------------------
-    h2 = _ln(x1) * (1.0 + mod[:, 4:5]) + mod[:, 3:4]
-    hid = jax.nn.gelu(mm(h2, w1) + b1[None, None, :].astype(jnp.float32),
+    h2 = _ln(x1) * (1.0 + bc(4)) + bc(3)
+    hid = jax.nn.gelu(mm(h2, w1) + b1[None, :].astype(jnp.float32),
                       approximate=True)
-    y = mm(hid, w2) + b2[None, None, :].astype(jnp.float32)
-    return x1 + mod[:, 5:6] * y
+    y = mm(hid, w2) + b2[None, :].astype(jnp.float32)
+    return x1 + bc(5) * y
+
+
+def _onehot_rows(gn, g, n_tok):
+    """(G*N, G) one-hot: row i belongs to element i // N (f32, built from
+    2-D iotas — no reshapes)."""
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (gn, g), 0) // n_tok
+        == jax.lax.broadcasted_iota(jnp.int32, (gn, g), 1)
+    ).astype(jnp.float32)
 
 
 def _block_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
@@ -197,17 +213,20 @@ def _stack_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     )
 
 
-def _stack_kernel_g_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
-                           bout_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref,
-                           o_ref, *, depth, num_heads, head_dim, scale,
-                           mm_dtype):
-    """Grouped stack kernel: all ``depth`` blocks on a VMEM-resident
-    (G, N, H) panel of G batch elements."""
+def _stack_kernel_g(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
+                    bout_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref,
+                    o_ref, *, depth, num_heads, head_dim, scale,
+                    mm_dtype, n_tok):
+    """Grouped stack kernel: all ``depth`` blocks on one VMEM-resident
+    FLAT (G*N, H) panel of G batch elements. ``mask_ref`` is the
+    (G*N, G*N) block-diagonal mask (always present in grouped mode)."""
+    gn = x_ref.shape[0]
+    oh = _onehot_rows(gn, gn // n_tok, n_tok)
     x = x_ref[...].astype(jnp.float32)
-    mask = mask_ref[0] if mask_ref is not None else None
+    mask = mask_ref[...]
     for li in range(depth):
         x = _block_body_g(
-            x, mod_ref[:, li].astype(jnp.float32),
+            x, mod_ref[:, li].astype(jnp.float32), oh,
             wqkv_ref[li], bqkv_ref[li], wout_ref[li], bout_ref[li],
             w1_ref[li], b1_ref[li], w2_ref[li], b2_ref[li], mask,
             num_heads=num_heads, head_dim=head_dim, scale=scale,
@@ -216,12 +235,16 @@ def _stack_kernel_g_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
     o_ref[...] = x.astype(o_ref.dtype)
 
 
-def _stack_kernel_g(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-                    w1_ref, b1_ref, w2_ref, b2_ref, o_ref, **kw):
-    _stack_kernel_g_masked(
-        x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-        w1_ref, b1_ref, w2_ref, b2_ref, None, o_ref, **kw
-    )
+def _grouped_mask(mask, n, g):
+    """(G*N, G*N) block-diagonal attention mask for flat grouped panels:
+    token i attends j iff they belong to the same batch element (and the
+    shared (N, N) mask, when given, allows it). Static shapes only —
+    built once at trace time, DMA'd as a constant input."""
+    seg = jnp.arange(g * n) // n
+    bd = seg[:, None] == seg[None, :]
+    if mask is not None:
+        bd = bd & jnp.tile(mask, (g, g))
+    return bd
 
 
 def _pad_batch(arrs, b, group):
@@ -262,11 +285,13 @@ def fused_dit_stack(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
 
 def stack_vmem_estimate(n, hdim, fdim, depth, num_heads, group=1):
     """Approximate VMEM footprint (bytes) of the stack kernel: bf16 weights
-    resident + double-buffered panels + one head's live score blocks (both
-    scale with the batch group size)."""
+    resident + double-buffered panels + live score blocks. Grouped mode
+    (flat G*N panel) pays quadratically for its (G*N, G*N) scores + mask,
+    which is what caps the usable group size via the 98M gate."""
     wbytes = 2 * depth * (hdim * 3 * hdim + hdim * hdim + 2 * hdim * fdim)
-    panels = group * 4 * n * (2 * hdim + 3 * hdim + fdim) * 2
-    scores = group * 12 * n * n
+    rows = group * n
+    panels = 4 * rows * (2 * hdim + 3 * hdim + fdim) * 2
+    scores = 12 * rows * rows + (rows * rows if group > 1 else 0)
     return wbytes + panels + scores
 
 
@@ -279,54 +304,79 @@ def _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
     mm_dtype = jnp.float32 if _interpret() else jnp.bfloat16
     g = max(1, int(group))
     res = (x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask)
-    (x, mods), bp = _pad_batch([x, mods], b, g)
-
-    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
-    in_specs = [
-        pl.BlockSpec((g, n, hdim), lambda i: (i, 0, 0)),
-        pl.BlockSpec((g, depth, 6, hdim), lambda i: (i, 0, 0, 0)),
-        const(depth, hdim, 3 * hdim), const(depth, 3 * hdim),
-        const(depth, hdim, hdim), const(depth, hdim),
-        const(depth, hdim, fdim), const(depth, fdim),
-        const(depth, fdim, hdim), const(depth, hdim),
-    ]
-    # biases stay f32 (XLA adds f32 biases on the composed path); weight
-    # matrices pre-cast to the matmul dtype to halve their VMEM residency
-    args = [x, mods, wqkv.astype(mm_dtype), bqkv, wout.astype(mm_dtype),
-            bout, w1.astype(mm_dtype), b1, w2.astype(mm_dtype), b2]
-    if mask is not None:
-        if mask.ndim != 2:
-            raise ValueError("fused_dit_stack supports a shared (N, N) mask")
-        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
-        args.append(mask[None])
-
-    kernel = functools.partial(
-        (_stack_kernel_masked if mask is not None else _stack_kernel)
-        if g == 1 else
-        (_stack_kernel_g_masked if mask is not None else _stack_kernel_g),
-        depth=depth,
-        num_heads=num_heads,
-        head_dim=d,
-        scale=d**-0.5 if scale is None else scale,
-        mm_dtype=mm_dtype,
-    )
+    if mask is not None and mask.ndim != 2:
+        raise ValueError("fused_dit_stack supports a shared (N, N) mask")
+    head_scale = d**-0.5 if scale is None else scale
     vmem = min(128 * 1024 * 1024,
                max(64 * 1024 * 1024,
                    int(1.3 * stack_vmem_estimate(n, hdim, fdim, depth,
                                                  num_heads, g))))
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    # biases stay f32 (XLA adds f32 biases on the composed path); weight
+    # matrices pre-cast to the matmul dtype to halve their VMEM residency
+    wargs = [wqkv.astype(mm_dtype), bqkv, wout.astype(mm_dtype), bout,
+             w1.astype(mm_dtype), b1, w2.astype(mm_dtype), b2]
+    wspecs = [const(depth, hdim, 3 * hdim), const(depth, 3 * hdim),
+              const(depth, hdim, hdim), const(depth, hdim),
+              const(depth, hdim, fdim), const(depth, fdim),
+              const(depth, fdim, hdim), const(depth, hdim)]
+
+    if g > 1:
+        # flat grouped panel: (G*N, H) rows, block-diagonal mask — see
+        # _block_body_g for why everything must stay 2-D
+        (xp, modsp), bp = _pad_batch([x, mods], b, g)
+        gn = g * n
+        out = pl.pallas_call(
+            functools.partial(
+                _stack_kernel_g, depth=depth, num_heads=num_heads,
+                head_dim=d, scale=head_scale, mm_dtype=mm_dtype, n_tok=n,
+            ),
+            grid=(bp // g,),
+            in_specs=[pl.BlockSpec((gn, hdim), lambda i: (i, 0)),
+                      pl.BlockSpec((g, depth, 6, hdim),
+                                   lambda i: (i, 0, 0, 0)),
+                      *wspecs, const(gn, gn)],
+            out_specs=pl.BlockSpec((gn, hdim), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bp * n, hdim), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=vmem,
+            ),
+            interpret=_interpret(),
+        )(xp.reshape(bp * n, hdim), modsp, *wargs, _grouped_mask(mask, n, g))
+        return out.reshape(bp, n, hdim)[:b], res
+
+    in_specs = [
+        pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, depth, 6, hdim), lambda i: (i, 0, 0, 0)),
+        *wspecs,
+    ]
+    args = [x, mods, *wargs]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
+        args.append(mask[None])
+
+    kernel = functools.partial(
+        _stack_kernel_masked if mask is not None else _stack_kernel,
+        depth=depth,
+        num_heads=num_heads,
+        head_dim=d,
+        scale=head_scale,
+        mm_dtype=mm_dtype,
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(bp // g,),
+        grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((g, n, hdim), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bp, n, hdim), x.dtype),
+        out_specs=pl.BlockSpec((1, n, hdim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hdim), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=vmem,
         ),
         interpret=_interpret(),
     )(*args)
-    return out[:b], res
+    return out, res
 
 
 def _stack_bwd(num_heads, scale, group, res, g):
@@ -620,48 +670,40 @@ def _vit_kernel(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref, bemb_ref,
     )
 
 
-def _vit_kernel_g_masked(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref,
-                         bemb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-                         w1_ref, b1_ref, w2_ref, b2_ref, wfin_ref, bfin_ref,
-                         mask_ref, o_ref, *, depth, num_heads, head_dim,
-                         scale, mm_dtype):
-    """Grouped whole-ViT kernel: embedding + all blocks + FinalLayer on a
-    (G, N, P) token panel of G batch elements (see :func:`_block_body_g`
-    for why grouping pays at small-subnet shapes)."""
+def _vit_kernel_g(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref,
+                  bemb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, wfin_ref, bfin_ref,
+                  mask_ref, o_ref, *, depth, num_heads, head_dim,
+                  scale, mm_dtype, n_tok):
+    """Grouped whole-ViT kernel: embedding + all blocks + FinalLayer on one
+    FLAT (G*N, P) token panel of G batch elements (see :func:`_block_body_g`
+    for the 2-D-only layout rationale). ``pos_ref`` arrives pre-tiled to
+    (G*N, H); ``mask_ref`` is the (G*N, G*N) block-diagonal mask."""
 
     def mm(a, w):
         return jax.lax.dot_general(
-            a.astype(mm_dtype), w.astype(mm_dtype),
-            (((a.ndim - 1,), (0,)), ((), ())),
+            a.astype(mm_dtype), w.astype(mm_dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    tok = tok_ref[...].astype(jnp.float32)  # (G, N, P)
-    x = mm(tok, wemb_ref[...]) + bemb_ref[...][None, None, :].astype(jnp.float32)
-    x = x + pos_ref[...][None].astype(jnp.float32)
-    mask = mask_ref[0] if mask_ref is not None else None
+    gn = tok_ref.shape[0]
+    oh = _onehot_rows(gn, gn // n_tok, n_tok)
+    tok = tok_ref[...].astype(jnp.float32)  # (G*N, P)
+    x = mm(tok, wemb_ref[...]) + bemb_ref[...][None, :].astype(jnp.float32)
+    x = x + pos_ref[...].astype(jnp.float32)
+    mask = mask_ref[...]
     for li in range(depth):
         x = _block_body_g(
-            x, mods_ref[:, li].astype(jnp.float32),
+            x, mods_ref[:, li].astype(jnp.float32), oh,
             wqkv_ref[li], bqkv_ref[li], wout_ref[li], bout_ref[li],
             w1_ref[li], b1_ref[li], w2_ref[li], b2_ref[li], mask,
             num_heads=num_heads, head_dim=head_dim, scale=scale,
             mm_dtype=mm_dtype,
         )
     fm = fmod_ref[...].astype(jnp.float32)  # (G, 2, H)
-    u = _ln(x) * (1.0 + fm[:, 1:2]) + fm[:, 0:1]
-    out = mm(u, wfin_ref[...]) + bfin_ref[...][None, None, :].astype(jnp.float32)
+    u = _ln(x) * (1.0 + _mod_bcast(oh, fm, 1)) + _mod_bcast(oh, fm, 0)
+    out = mm(u, wfin_ref[...]) + bfin_ref[...][None, :].astype(jnp.float32)
     o_ref[...] = out.astype(o_ref.dtype)
-
-
-def _vit_kernel_g(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref, bemb_ref,
-                  wqkv_ref, bqkv_ref, wout_ref, bout_ref, w1_ref, b1_ref,
-                  w2_ref, b2_ref, wfin_ref, bfin_ref, o_ref, **kw):
-    _vit_kernel_g_masked(
-        tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref, bemb_ref,
-        wqkv_ref, bqkv_ref, wout_ref, bout_ref, w1_ref, b1_ref, w2_ref,
-        b2_ref, wfin_ref, bfin_ref, None, o_ref, **kw
-    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19))
@@ -697,42 +739,9 @@ def _vit_fwd(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout, bout,
     g = max(1, int(group))
     res = (tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
            bout, w1, b1, w2, b2, wfin, bfin, mask)
-    (tokens, mods, fmod), bp = _pad_batch([tokens, mods, fmod], b, g)
-
-    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
-    in_specs = [
-        pl.BlockSpec((g, n, pdim), lambda i: (i, 0, 0)),
-        const(n, hdim),
-        pl.BlockSpec((g, depth, 6, hdim), lambda i: (i, 0, 0, 0)),
-        pl.BlockSpec((g, 2, hdim), lambda i: (i, 0, 0)),
-        const(pdim, hdim), const(hdim,),
-        const(depth, hdim, 3 * hdim), const(depth, 3 * hdim),
-        const(depth, hdim, hdim), const(depth, hdim),
-        const(depth, hdim, fdim), const(depth, fdim),
-        const(depth, fdim, hdim), const(depth, hdim),
-        const(hdim, out_dim), const(out_dim,),
-    ]
-    args = [tokens, pos, mods, fmod,
-            wemb.astype(mm_dtype), bemb,
-            wqkv.astype(mm_dtype), bqkv, wout.astype(mm_dtype), bout,
-            w1.astype(mm_dtype), b1, w2.astype(mm_dtype), b2,
-            wfin.astype(mm_dtype), bfin]
-    if mask is not None:
-        if mask.ndim != 2:
-            raise ValueError("fused_vit_forward supports a shared (N, N) mask")
-        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
-        args.append(mask[None])
-
-    kernel = functools.partial(
-        (_vit_kernel_masked if mask is not None else _vit_kernel)
-        if g == 1 else
-        (_vit_kernel_g_masked if mask is not None else _vit_kernel_g),
-        depth=depth,
-        num_heads=num_heads,
-        head_dim=d,
-        scale=d**-0.5 if scale is None else scale,
-        mm_dtype=mm_dtype,
-    )
+    if mask is not None and mask.ndim != 2:
+        raise ValueError("fused_vit_forward supports a shared (N, N) mask")
+    head_scale = d**-0.5 if scale is None else scale
     vmem = min(
         128 * 1024 * 1024,
         max(64 * 1024 * 1024,
@@ -740,19 +749,75 @@ def _vit_fwd(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout, bout,
                        + 2 * (pdim * hdim + hdim * out_dim)
                        + g * 4 * n * (hdim + pdim + out_dim)))),
     )
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    wargs = [wemb.astype(mm_dtype), bemb,
+             wqkv.astype(mm_dtype), bqkv, wout.astype(mm_dtype), bout,
+             w1.astype(mm_dtype), b1, w2.astype(mm_dtype), b2,
+             wfin.astype(mm_dtype), bfin]
+    wspecs = [const(pdim, hdim), const(hdim,),
+              const(depth, hdim, 3 * hdim), const(depth, 3 * hdim),
+              const(depth, hdim, hdim), const(depth, hdim),
+              const(depth, hdim, fdim), const(depth, fdim),
+              const(depth, fdim, hdim), const(depth, hdim),
+              const(hdim, out_dim), const(out_dim,)]
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel",), vmem_limit_bytes=vmem,
+    )
+
+    if g > 1:
+        # flat grouped panel + block-diag mask (see _block_body_g)
+        (tokp, modsp, fmodp), bp = _pad_batch([tokens, mods, fmod], b, g)
+        gn = g * n
+        out = pl.pallas_call(
+            functools.partial(
+                _vit_kernel_g, depth=depth, num_heads=num_heads,
+                head_dim=d, scale=head_scale, mm_dtype=mm_dtype, n_tok=n,
+            ),
+            grid=(bp // g,),
+            in_specs=[pl.BlockSpec((gn, pdim), lambda i: (i, 0)),
+                      const(gn, hdim),
+                      pl.BlockSpec((g, depth, 6, hdim),
+                                   lambda i: (i, 0, 0, 0)),
+                      pl.BlockSpec((g, 2, hdim), lambda i: (i, 0, 0)),
+                      *wspecs, const(gn, gn)],
+            out_specs=pl.BlockSpec((gn, out_dim), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bp * n, out_dim), tokens.dtype),
+            compiler_params=cparams,
+            interpret=_interpret(),
+        )(tokp.reshape(bp * n, pdim), jnp.tile(pos.astype(jnp.float32), (g, 1)),
+          modsp, fmodp, *wargs, _grouped_mask(mask, n, g))
+        return out.reshape(bp, n, out_dim)[:b], res
+
+    in_specs = [
+        pl.BlockSpec((1, n, pdim), lambda i: (i, 0, 0)),
+        const(n, hdim),
+        pl.BlockSpec((1, depth, 6, hdim), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, 2, hdim), lambda i: (i, 0, 0)),
+        *wspecs,
+    ]
+    args = [tokens, pos, mods, fmod, *wargs]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
+        args.append(mask[None])
+
+    kernel = functools.partial(
+        _vit_kernel_masked if mask is not None else _vit_kernel,
+        depth=depth,
+        num_heads=num_heads,
+        head_dim=d,
+        scale=head_scale,
+        mm_dtype=mm_dtype,
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(bp // g,),
+        grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((g, n, out_dim), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bp, n, out_dim), tokens.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=vmem,
-        ),
+        out_specs=pl.BlockSpec((1, n, out_dim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_dim), tokens.dtype),
+        compiler_params=cparams,
         interpret=_interpret(),
     )(*args)
-    return out[:b], res
+    return out, res
 
 
 def vit_forward_reference(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv,
