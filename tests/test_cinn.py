@@ -99,6 +99,70 @@ def test_binned_rqs_logdet_vs_autodiff(rng):
     assert float(ld[0]) == pytest.approx(float(jnp.linalg.slogdet(jac)[1]), rel=1e-4)
 
 
+@pytest.mark.parametrize(
+    "identity_tails,clamp,bins", [(False, None, 10), (True, None, 10),
+                                  (False, 20.0, 8), (True, 15.0, 5)]
+)
+def test_fused_spline_kernel_matches_composed(rng, identity_tails, clamp, bins):
+    """The single-pass Pallas inverse (ops/fused_spline.py) must reproduce
+    binned_constrain + binned_rqs(rev=True) elementwise (interpret mode)."""
+    from vit4hep_tpu.ops.fused_spline import fused_binned_rqs_inverse
+
+    n_params = 2 * bins + (bins - 1) + (1 if identity_tails else 2)
+    b, d = 6, 52
+    theta = jnp.asarray(rng.normal(size=(b, d, n_params)), jnp.float32)
+    # spread y across in-domain and affine-tail regions
+    y = jnp.asarray(rng.normal(size=(b, d)) * 6, jnp.float32)
+    dom = (-8.0, 8.0, -8.0, 8.0)
+    params = rqs.binned_constrain(theta, bins, (0.01, 0.01), dom, identity_tails, clamp)
+    x_ref, ld_ref = rqs.binned_rqs(y, params, rev=True)
+    x_k, ld_k = fused_binned_rqs_inverse(
+        y, theta, bins, (0.01, 0.01), dom, identity_tails, clamp, group=4
+    )
+    np.testing.assert_allclose(x_k, x_ref, atol=5e-5)
+    np.testing.assert_allclose(ld_k, ld_ref, atol=5e-4)
+
+
+def test_fused_spline_block_matches_composed(rng):
+    """BinnedRQSCouplingBlock(fused_spline=True) inverse == composed inverse,
+    and the forward (likelihood) direction is untouched by the flag."""
+    import flax.linen as fnn
+
+    from vit4hep_tpu.models.bijectors import BinnedRQSCouplingBlock
+
+    class TinySubnet(fnn.Module):
+        n_params: int
+
+        @fnn.compact
+        def __call__(self, x, c):
+            b, t, p = x.shape
+            h = jnp.concatenate([x.reshape(b, -1), c], axis=-1)
+            h = fnn.tanh(fnn.Dense(32)(h))
+            out = fnn.Dense(
+                t * p * self.n_params,
+                kernel_init=fnn.initializers.normal(0.1),
+            )(h)
+            return out.reshape(b, t, p * self.n_params)
+
+    def ctor(n_params):
+        return TinySubnet(n_params=n_params)
+
+    kw = dict(subnet_ctor=ctor, bins=6, min_bin_sizes=(0.01, 0.01),
+              default_domain=(-6.0, 6.0, -6.0, 6.0))
+    composed = BinnedRQSCouplingBlock(**kw)
+    fused = BinnedRQSCouplingBlock(fused_spline=True, **kw)
+    x = jnp.asarray(rng.normal(size=(4, 12, 6)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+    params = composed.init(jax.random.PRNGKey(0), x, c)
+    y_c, ld_c = composed.apply(params, x, c, method="inverse")
+    y_f, ld_f = fused.apply(params, x, c, method="inverse")
+    np.testing.assert_allclose(y_f, y_c, atol=5e-5)
+    np.testing.assert_allclose(ld_f, ld_c, atol=5e-4)
+    f_c = composed.apply(params, x, c, method="forward")
+    f_f = fused.apply(params, x, c, method="forward")
+    np.testing.assert_allclose(f_f[0], f_c[0], atol=0)
+
+
 # ---------------------------------------------------------------------------
 # coupling blocks / flow
 # ---------------------------------------------------------------------------

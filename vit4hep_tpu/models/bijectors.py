@@ -123,6 +123,12 @@ class BinnedRQSCouplingBlock(nn.Module):
     identity_tails: bool = False
     domain_clamping: float | None = None
     spatial: bool = False
+    # route the inverse (sampling) direction through the single-pass Pallas
+    # spline kernel (ops/fused_spline.py) — the composed XLA inverse re-reads
+    # the ~(B, D, 31) theta tensors ~15x from HBM (round-3 profile). The
+    # forward/likelihood direction always runs the composed differentiable
+    # path; the kernel defines no VJP.
+    fused_spline: bool = False
 
     @property
     def n_params(self) -> int:
@@ -143,6 +149,15 @@ class BinnedRQSCouplingBlock(nn.Module):
         b = active.shape[0]
         flat = active.reshape(b, -1)
         theta = theta.reshape(b, flat.shape[1], self.n_params)
+        if rev and self.fused_spline:
+            from vit4hep_tpu.ops.fused_spline import fused_binned_rqs_inverse
+
+            y, logdet = fused_binned_rqs_inverse(
+                flat, theta, self.bins, tuple(self.min_bin_sizes),
+                tuple(self.default_domain), self.identity_tails,
+                self.domain_clamping,
+            )
+            return y.reshape(active.shape), logdet
         params = rqs.binned_constrain(
             theta, self.bins, tuple(self.min_bin_sizes), tuple(self.default_domain),
             self.identity_tails, self.domain_clamping,

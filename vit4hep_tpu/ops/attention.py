@@ -124,7 +124,13 @@ def qkv_attention(qkv, num_heads, mask=None, impl="auto", scale=None):
     if impl == "auto":
         kernel_ok = mask is None or mask.ndim == 2
         # measured fused wins at every point up to N=2048 (1.17 vs 1.70 ms
-        # vmem / 3.54 xla)
+        # vmem / 3.54 xla). This holds even at small head_dim where the
+        # kernel's per-head matmuls starve the MXU: at the ds2-cINN subnet
+        # shape (N=135, hidden 192, head_dim 48) the kernel profiles at
+        # 0.98 ms/call — poor (1.8 TFLOP/s) — but XLA's batched-matmul
+        # attention is WORSE (~0.86 ms/call: three HBM passes over the
+        # materialized f32 (B, H, N, N) scores plus a qkv retile copy;
+        # round-3 xplane A/B, cINN e2e 1075 xla vs 1195 fused showers/s).
         if kernel_ok and n >= 128 and fused_fits:
             impl = "fused"
         elif kernel_ok and n >= 128:

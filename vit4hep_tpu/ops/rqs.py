@@ -40,6 +40,27 @@ def _searchsorted(knots, x):
     )
 
 
+def _csum0(vals):
+    """``concat([0, cumsum(vals)])`` along the last axis, as one matmul.
+
+    ``jnp.cumsum`` lowers to a reduce-window on TPU — measured 0.18 ms per
+    (256, 3240, 10) call at ds2-cINN shapes plus a pad fusion for the
+    leading-zero concat, x80 per sampler call (~20 ms/batch, round-3
+    profile). A (K, K+1) strictly-upper-triangular matmul emits the leading
+    zero and every partial sum in one MXU op. ``Precision.HIGHEST`` keeps
+    true-f32 accumulation (the default TPU bf16-multiplicand mode would
+    move knots by ~0.4%); summation order is tree-wise either way — the
+    reduce-window lowering was never sequential-order exact.
+    """
+    k = vals.shape[-1]
+    tri = jnp.asarray(np.triu(np.ones((k, k + 1), np.float32), 1), vals.dtype)
+    return jax.lax.dot_general(
+        vals, tri, (((vals.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=vals.dtype,
+    )
+
+
 def _gather_bin_params(idx, knot_x, knot_y, derivs):
     """Select (xk, xkp, yk, ykp, dk, dkp) = arr[..., idx] / arr[..., idx+1]
     for the three knot arrays (..., K+1) at bin index idx (..., ) in [0, K-1].
@@ -125,15 +146,11 @@ def nflows_knots(theta, num_bins, bound):
     ud = theta[..., 2 * num_bins :]
 
     widths = MIN_BIN_WIDTH + (1 - MIN_BIN_WIDTH * num_bins) * _softmax(uw)
-    knot_x = jnp.concatenate(
-        [jnp.zeros_like(widths[..., :1]), jnp.cumsum(widths, axis=-1)], axis=-1
-    )
+    knot_x = _csum0(widths)
     knot_x = 2 * bound * knot_x - bound
 
     heights = MIN_BIN_HEIGHT + (1 - MIN_BIN_HEIGHT * num_bins) * _softmax(uh)
-    knot_y = jnp.concatenate(
-        [jnp.zeros_like(heights[..., :1]), jnp.cumsum(heights, axis=-1)], axis=-1
-    )
+    knot_y = _csum0(heights)
     knot_y = 2 * bound * knot_y - bound
 
     const = np.log(np.exp(1 - MIN_DERIVATIVE) - 1)
@@ -239,12 +256,8 @@ def binned_constrain(
         left = left * w_resize
         bottom = bottom * h_resize
 
-    knot_x = left + jnp.concatenate(
-        [jnp.zeros_like(widths[..., :1]), jnp.cumsum(widths, axis=-1)], axis=-1
-    )
-    knot_y = bottom + jnp.concatenate(
-        [jnp.zeros_like(heights[..., :1]), jnp.cumsum(heights, axis=-1)], axis=-1
-    )
+    knot_x = left + _csum0(widths)
+    knot_y = bottom + _csum0(heights)
 
     # deltas: positive via shifted softplus; boundary derivative = affine scale
     # (rqs_v2.py:17-37) so the transform is C^1 across the domain edge.
