@@ -192,7 +192,12 @@ def _xla_from_qkv(qkv, h, mask=None, scale=None):
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, h * d)
 
 
-@pytest.mark.parametrize("n,h,d", [(64, 2, 16), (135, 6, 16), (450, 3, 16), (40, 5, 8)])
+@pytest.mark.parametrize(
+    "n,h,d",
+    # d <= 64 runs the head-packed kernel, d = 80 the per-head loop
+    # (ops/fused_qkv_attention.py: packed = d <= 64)
+    [(64, 2, 16), (135, 6, 16), (450, 3, 16), (40, 5, 8), (40, 2, 80)],
+)
 def test_fused_qkv_matches_xla_forward(n, h, d):
     from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
 

@@ -120,7 +120,13 @@ def qkv_attention(qkv, num_heads, mask=None, impl="auto", scale=None):
     # VMEM compile failure. The bound applies to EXPLICIT `attn_impl: fused`
     # configs too (an unguarded config would hit a raw Mosaic error).
     hd = qkv.shape[-1] // 3
-    fused_fits = n <= 2048 and 16 * n * hd + 20 * n * n <= 120 * 1024 * 1024
+    # head_dim <= 64 routes to the head-packed kernel whose score rows are
+    # (H*N, N) — budget the working set accordingly
+    _score_mult = num_heads if hd // num_heads <= 64 else 1
+    fused_fits = (
+        n <= 2048
+        and 16 * n * hd + 20 * n * n * _score_mult <= 120 * 1024 * 1024
+    )
     if impl == "auto":
         kernel_ok = mask is None or mask.ndim == 2
         # measured fused wins at every point up to N=2048 (1.17 vs 1.70 ms

@@ -91,6 +91,69 @@ def _fused_kernel_masked(
         lse_ref[0, h, :] = (m + jnp.log(l_safe))[:, 0]
 
 
+def _packed_kernel(qkv_ref, o_ref, lse_ref, *, num_heads, head_dim, scale,
+                   mm_dtype):
+    _packed_kernel_masked(
+        qkv_ref, None, o_ref, lse_ref,
+        num_heads=num_heads, head_dim=head_dim, scale=scale, mm_dtype=mm_dtype,
+    )
+
+
+def _packed_kernel_masked(
+    qkv_ref, mask_ref, o_ref, lse_ref, *, num_heads, head_dim, scale, mm_dtype
+):
+    """Head-packed forward for small head dims: ALL heads' scores in one
+    (H*N, N) matmul against a block-diagonal Q, then one (H*N, HD) PV
+    matmul, instead of 2*H tiny per-head matmuls.
+
+    At head_dim < 128 the per-head path starves the MXU (d pads to 128
+    lanes) and pays 2*H matmul setups per grid cell — profiled 0.49 ms/call
+    at the ds2-cINN subnet shape (N=135, H=4, d=48), ~10x above the
+    combined MXU+VPU floor. Packing trades H-fold zero-block FLOPs (dense
+    MXU work) for op-count: S[h*N+i, j] = sum_d QBD[h*N+i, d] * K[j, d]
+    with QBD = vertically tiled Q masked block-diagonally (row block h
+    keeps only head h's columns), so the contraction runs over the FULL
+    H*D lanes; the PV product likewise computes (H*N, HD) and keeps the
+    (h, h) diagonal blocks. Exact: the off-block contributions are zeros
+    added in f32 accumulation."""
+    x = qkv_ref[0]  # (N, 3*H*D)
+    h_tot, d = num_heads, head_dim
+    n = x.shape[0]
+    hd = h_tot * d
+    q = x[:, :hd]
+    k = x[:, hd : 2 * hd]
+    v = x[:, 2 * hd :]
+
+    qt = jnp.concatenate([q] * h_tot, axis=0)  # (H*N, HD)
+    rowblk = jax.lax.broadcasted_iota(jnp.int32, (h_tot * n, hd), 0) // n
+    colblk = jax.lax.broadcasted_iota(jnp.int32, (h_tot * n, hd), 1) // d
+    qbd = jnp.where(rowblk == colblk, qt, 0.0)
+
+    s = jax.lax.dot_general(
+        qbd.astype(mm_dtype), k.astype(mm_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (H*N, N)
+    if mask_ref is not None:
+        s = jnp.where(jnp.concatenate([mask_ref[0]] * h_tot, axis=0), s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(mm_dtype), v.astype(mm_dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H*N, HD); row block h's valid columns are head h's
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o = o / l_safe
+    lse = m + jnp.log(l_safe)
+    for h in range(h_tot):
+        o_ref[0, :, h * d:(h + 1) * d] = (
+            o[h * n:(h + 1) * n, h * d:(h + 1) * d].astype(o_ref.dtype)
+        )
+        lse_ref[0, h, :] = lse[h * n:(h + 1) * n, 0]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
 def fused_qkv_attention(qkv, num_heads, mask=None, scale=None):
     """Attention straight from the qkv projection's native layout.
@@ -119,17 +182,27 @@ def _fused_fwd(qkv, num_heads, mask, scale=None):
         in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
         args.append(mask[None])
 
+    # head-packed forward below 128-lane head panels (see _packed_kernel):
+    # one block-diag score matmul + one PV matmul instead of 2*H starved
+    # per-head matmuls. d=80 (ds2/ds3 flagships) keeps the per-head loop —
+    # its 1.6x lane pad beats the H-fold packed-score FLOPs at H=6.
+    packed = d <= 64
+    if packed:
+        kfn = _packed_kernel_masked if mask is not None else _packed_kernel
+    else:
+        kfn = _fused_kernel_masked if mask is not None else _fused_kernel
     kernel = functools.partial(
-        _fused_kernel_masked if mask is not None else _fused_kernel,
+        kfn,
         num_heads=num_heads,
         head_dim=d,
         scale=d**-0.5 if scale is None else scale,
         mm_dtype=jnp.float32 if _interpret() else jnp.bfloat16,
     )
     # VMEM budget: the (N, 3HD) panel + (N, HD) output (double-buffered) plus
-    # one head's f32 scores, exp output, and their bf16 casts. v5e has 128M.
+    # the f32 scores, exp output, and their bf16 casts — (H*N, N) score rows
+    # in the packed mode, (N, N) per head otherwise. v5e has 128M.
     panel = 4 * n * (3 * hd + hd) * 2
-    scores = 10 * n * n
+    scores = 10 * n * n * (num_heads if packed else 1)
     vmem = min(128 * 1024 * 1024, max(32 * 1024 * 1024, 2 * panel + 2 * scores))
     out, lse = pl.pallas_call(
         kernel,
