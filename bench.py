@@ -307,15 +307,19 @@ def _probe_device(timeout_s=420.0):
         last_healthy = None
         try:
             import glob
+            # newest by mtime (lexicographic would prefer `_partial` files
+            # and mis-order r10 before r9); preserved captures wrap the
+            # bench record under "parsed"
             caps = sorted(glob.glob(os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_MIDROUND_r*.json")))
+                "BENCH_MIDROUND_r*.json")), key=os.path.getmtime)
             if caps:
                 with open(caps[-1]) as f:
                     cap = json.load(f)
+                rec = cap.get("parsed", cap)
                 last_healthy = {"file": os.path.basename(caps[-1]),
-                                "value": cap.get("value"),
-                                "extra": cap.get("extra")}
+                                "value": rec.get("value"),
+                                "extra": rec.get("extra")}
         except Exception:
             pass
         print(json.dumps({

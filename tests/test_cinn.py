@@ -123,6 +123,31 @@ def test_fused_spline_kernel_matches_composed(rng, identity_tails, clamp, bins):
     np.testing.assert_allclose(ld_k, ld_ref, atol=5e-4)
 
 
+@pytest.mark.parametrize("b,group", [(20, 16), (10, 16), (25, 8)])
+def test_fused_spline_kernel_non_8smooth_batch(rng, b, group):
+    """Batch sizes that are not 8-smooth (the reference's customary 1000, a
+    user's 100...) must pad up to a multiple-of-8 group instead of picking a
+    divisor group that violates the Mosaic sublane constraint (regression:
+    round-3 review finding — _largest_divisor(1000, 16) = 10 failed to
+    compile on TPU)."""
+    from vit4hep_tpu.ops.fused_spline import fused_binned_rqs_inverse
+
+    bins = 6
+    n_params = 2 * bins + (bins - 1) + 2
+    d = 12
+    theta = jnp.asarray(rng.normal(size=(b, d, n_params)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(b, d)) * 6, jnp.float32)
+    dom = (-8.0, 8.0, -8.0, 8.0)
+    params = rqs.binned_constrain(theta, bins, (0.01, 0.01), dom, False, None)
+    x_ref, ld_ref = rqs.binned_rqs(y, params, rev=True)
+    x_k, ld_k = fused_binned_rqs_inverse(
+        y, theta, bins, (0.01, 0.01), dom, False, None, group=group
+    )
+    assert x_k.shape == (b, d)
+    np.testing.assert_allclose(x_k, x_ref, atol=5e-5)
+    np.testing.assert_allclose(ld_k, ld_ref, atol=5e-4)
+
+
 def test_fused_spline_block_matches_composed(rng):
     """BinnedRQSCouplingBlock(fused_spline=True) inverse == composed inverse,
     and the forward (likelihood) direction is untouched by the flag."""

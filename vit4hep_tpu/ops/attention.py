@@ -121,11 +121,15 @@ def qkv_attention(qkv, num_heads, mask=None, impl="auto", scale=None):
     # configs too (an unguarded config would hit a raw Mosaic error).
     hd = qkv.shape[-1] // 3
     # head_dim <= 64 routes to the head-packed kernel whose score rows are
-    # (H*N, N) — budget the working set accordingly
-    _score_mult = num_heads if hd // num_heads <= 64 else 1
+    # (H*N, N) and which materializes (H*N, HD) qt/qbd/PV panels the
+    # per-head loop never holds — budget the working set accordingly
+    _packed = hd // num_heads <= 64
+    _score_mult = num_heads if _packed else 1
+    _packed_panels = 14 * num_heads * n * hd if _packed else 0
     fused_fits = (
         n <= 2048
-        and 16 * n * hd + 20 * n * n * _score_mult <= 120 * 1024 * 1024
+        and (16 * n * hd + 20 * n * n * _score_mult + _packed_panels
+             <= 120 * 1024 * 1024)
     )
     if impl == "auto":
         kernel_ok = mask is None or mask.ndim == 2

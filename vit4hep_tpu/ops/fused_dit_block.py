@@ -63,30 +63,22 @@ def _block_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     )
 
 
-def _attn_merged(qkv, mask, h_tot, d, scale, mm):
+def _attn_merged(qkv, mask, h_tot, d, scale, mm, mm_dtype):
     """softmax(QK^T)V from a VMEM (N, 3*H*D) qkv panel, merged (N, H*D) out.
 
-    head_dim <= 64 uses the head-packed form (one block-diag (H*N, N) score
-    matmul + one (H*N, HD) PV matmul — see ops/fused_qkv_attention.py:
-    _packed_kernel_masked, measured +8% cINN e2e over the per-head loop);
-    larger heads keep the per-head loop."""
+    head_dim <= 64 uses the head-packed form (packed_attn_core in
+    ops/fused_qkv_attention.py — the shared Mosaic-proven op sequence;
+    measured +8% cINN e2e over the per-head loop); larger heads keep the
+    per-head loop."""
+    from vit4hep_tpu.ops.fused_qkv_attention import packed_attn_core
+
     n = qkv.shape[0]
     hd = h_tot * d
     if d <= 64:
-        q = qkv[:, :hd]
-        k = qkv[:, hd : 2 * hd]
-        v = qkv[:, 2 * hd :]
-        qt = jnp.concatenate([q] * h_tot, axis=0)  # (H*N, HD)
-        rowblk = jax.lax.broadcasted_iota(jnp.int32, (h_tot * n, hd), 0) // n
-        colblk = jax.lax.broadcasted_iota(jnp.int32, (h_tot * n, hd), 1) // d
-        qbd = jnp.where(rowblk == colblk, qt, 0.0)
-        s = mm(qbd, k, ((1,), (1,))) * scale  # (H*N, N)
-        if mask is not None:
-            s = jnp.where(jnp.concatenate([mask] * h_tot, axis=0), s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        o = mm(p, v) / jnp.where(l == 0.0, 1.0, l)  # (H*N, HD)
+        o, _, _ = packed_attn_core(
+            qkv, mask, num_heads=h_tot, head_dim=d, scale=scale,
+            mm_dtype=mm_dtype,
+        )  # (H*N, HD), normalized; (h, h) diagonal blocks are the contexts
         # Merge the (h, h) diagonal blocks into (N, HD). Slice-and-concat
         # trips Mosaic ("result/input offset mismatch on non-concat
         # dimension": the hi*d lane / hi*n sublane offsets disagree), so
@@ -135,7 +127,7 @@ def _block_body(x, mod, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, *,
     # ---- attention half -------------------------------------------------
     h = _ln(x) * (1.0 + mod[1:2]) + mod[0:1]
     qkv = mm(h, wqkv) + bqkv[None, :].astype(jnp.float32)  # (N, 3*H)
-    merged = _attn_merged(qkv, mask, num_heads, head_dim, scale, mm)
+    merged = _attn_merged(qkv, mask, num_heads, head_dim, scale, mm, mm_dtype)
     attn = mm(merged, wout)
     x1 = x + mod[2:3] * (attn + bout[None, :].astype(jnp.float32))
 
@@ -150,11 +142,14 @@ def _block_body(x, mod, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, *,
 def _mod_bcast(oh, mod, k):
     """Broadcast per-element adaLN row ``mod[:, k]`` (G, H) to panel rows
     (G*N, H) via the one-hot (G*N, G) matmul — a pure 2-D op (no reshape
-    for Mosaic to choke on), f32 so modulation numerics match the
-    elementwise ungrouped path."""
+    for Mosaic to choke on). Precision.HIGHEST keeps it exact f32 on real
+    TPU (single-term sums of 1.0-products; default precision would round
+    the mod vectors through bf16 multiplicands and break the 'numerics
+    identical to group=1' contract the CPU-interpret parity tests assert)."""
     return jax.lax.dot_general(
         oh, mod[:, k], ((((1,), (0,))), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -336,7 +331,15 @@ def stack_vmem_estimate(n, hdim, fdim, depth, num_heads, group=1):
     wbytes = 2 * depth * (hdim * 3 * hdim + hdim * hdim + 2 * hdim * fdim)
     rows = group * n
     panels = 4 * rows * (2 * hdim + 3 * hdim + fdim) * 2
-    scores = 12 * rows * rows + (rows * rows if group > 1 else 0)
+    if hdim // num_heads <= 64:
+        # head-packed attention (_attn_merged): (H*rows, rows) scores/exp
+        # plus the (H*rows, hdim) qt/qbd/merge panels — an H-fold live set
+        # the per-head loop never materializes
+        scores = (12 * rows * rows * num_heads
+                  + 14 * num_heads * rows * hdim)
+    else:
+        scores = 12 * rows * rows
+    scores += rows * rows if group > 1 else 0
     return wbytes + panels + scores
 
 
@@ -988,10 +991,15 @@ def _block_fwd(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
     )
     # VMEM budget: f32 weights + their bf16 casts (~1.5x), double-buffered
     # x/mod/out panels, the (N, 3H) qkv + (N, F) MLP hidden (+bf16 casts),
-    # and one head's f32 score blocks.
+    # and the attention live set — one head's f32 score blocks on the
+    # per-head path; (H*N, N) scores + (H*N, hdim) qt/qbd/merge panels on
+    # the head-packed path (d <= 64, see _attn_merged).
     wbytes = 4 * (hdim * 3 * hdim + hdim * hdim + 2 * hdim * fdim)
     panels = 4 * n * (2 * hdim + 3 * hdim + fdim) * 2
-    scores = 12 * n * n
+    if d <= 64:
+        scores = 12 * n * n * num_heads + 14 * num_heads * n * hdim
+    else:
+        scores = 12 * n * n
     vmem = min(128 * 1024 * 1024,
                max(48 * 1024 * 1024, 2 * wbytes + panels + scores))
     out = pl.pallas_call(

@@ -99,12 +99,13 @@ def _packed_kernel(qkv_ref, o_ref, lse_ref, *, num_heads, head_dim, scale,
     )
 
 
-def _packed_kernel_masked(
-    qkv_ref, mask_ref, o_ref, lse_ref, *, num_heads, head_dim, scale, mm_dtype
-):
-    """Head-packed forward for small head dims: ALL heads' scores in one
-    (H*N, N) matmul against a block-diagonal Q, then one (H*N, HD) PV
-    matmul, instead of 2*H tiny per-head matmuls.
+def packed_attn_core(x, mask, *, num_heads, head_dim, scale, mm_dtype):
+    """Head-packed attention core for small head dims: ALL heads' scores in
+    one (H*N, N) matmul against a block-diagonal Q, then one (H*N, HD) PV
+    matmul, instead of 2*H tiny per-head matmuls. Shared VMEM-value math of
+    :func:`_packed_kernel_masked` and the DiT megakernel's ``_attn_merged``
+    (ops/fused_dit_block.py) — keep the Mosaic-proven op sequence in ONE
+    place.
 
     At head_dim < 128 the per-head path starves the MXU (d pads to 128
     lanes) and pays 2*H matmul setups per grid cell — profiled 0.49 ms/call
@@ -115,8 +116,12 @@ def _packed_kernel_masked(
     keeps only head h's columns), so the contraction runs over the FULL
     H*D lanes; the PV product likewise computes (H*N, HD) and keeps the
     (h, h) diagonal blocks. Exact: the off-block contributions are zeros
-    added in f32 accumulation."""
-    x = qkv_ref[0]  # (N, 3*H*D)
+    added in f32 accumulation.
+
+    x: (N, 3*H*D) qkv panel; mask: optional (N, N) bool. Returns
+    (o, m, l_safe): the NORMALIZED (H*N, HD) PV product whose (h, h)
+    diagonal blocks are the per-head contexts, plus the softmax row max
+    and safe row sum for LSE reconstruction."""
     h_tot, d = num_heads, head_dim
     n = x.shape[0]
     hd = h_tot * d
@@ -134,8 +139,8 @@ def _packed_kernel_masked(
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # (H*N, N)
-    if mask_ref is not None:
-        s = jnp.where(jnp.concatenate([mask_ref[0]] * h_tot, axis=0), s, _NEG_INF)
+    if mask is not None:
+        s = jnp.where(jnp.concatenate([mask] * h_tot, axis=0), s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -145,7 +150,22 @@ def _packed_kernel_masked(
         preferred_element_type=jnp.float32,
     )  # (H*N, HD); row block h's valid columns are head h's
     l_safe = jnp.where(l == 0.0, 1.0, l)
-    o = o / l_safe
+    return o / l_safe, m, l_safe
+
+
+def _packed_kernel_masked(
+    qkv_ref, mask_ref, o_ref, lse_ref, *, num_heads, head_dim, scale, mm_dtype
+):
+    """Head-packed forward kernel: :func:`packed_attn_core` + per-head
+    diagonal-block stores (ref stores tolerate the unaligned offsets that a
+    vector concat of the same slices would not)."""
+    h_tot, d = num_heads, head_dim
+    n = qkv_ref.shape[1]
+    o, m, l_safe = packed_attn_core(
+        qkv_ref[0], None if mask_ref is None else mask_ref[0],
+        num_heads=num_heads, head_dim=head_dim, scale=scale,
+        mm_dtype=mm_dtype,
+    )
     lse = m + jnp.log(l_safe)
     for h in range(h_tot):
         o_ref[0, :, h * d:(h + 1) * d] = (
@@ -200,10 +220,14 @@ def _fused_fwd(qkv, num_heads, mask, scale=None):
     )
     # VMEM budget: the (N, 3HD) panel + (N, HD) output (double-buffered) plus
     # the f32 scores, exp output, and their bf16 casts — (H*N, N) score rows
-    # in the packed mode, (N, N) per head otherwise. v5e has 128M.
+    # in the packed mode, (N, N) per head otherwise. Packed mode also
+    # materializes the (H*N, HD) qt/qbd tiles and PV output (+bf16 casts)
+    # that the per-head loop never holds. v5e has 128M.
     panel = 4 * n * (3 * hd + hd) * 2
     scores = 10 * n * n * (num_heads if packed else 1)
-    vmem = min(128 * 1024 * 1024, max(32 * 1024 * 1024, 2 * panel + 2 * scores))
+    packed_panels = 14 * num_heads * n * hd if packed else 0
+    vmem = min(128 * 1024 * 1024,
+               max(32 * 1024 * 1024, 2 * panel + 2 * scores + packed_panels))
     out, lse = pl.pallas_call(
         kernel,
         grid=(b,),

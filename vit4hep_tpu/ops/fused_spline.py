@@ -158,13 +158,6 @@ def _spline_inv_kernel(
     logj_ref[...] = jnp.where(inside, log_deriv, jnp.log(scale))
 
 
-def _largest_divisor(n: int, cap: int) -> int:
-    for g in range(min(cap, n), 0, -1):
-        if n % g == 0:
-            return g
-    return 1
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -186,8 +179,22 @@ def fused_binned_rqs_inverse(
     """
     b, d = y.shape
     p = theta.shape[-1]
-    g = _largest_divisor(b, group)
+    # Mosaic requires the sublane-axis block size to be a multiple of 8 (or
+    # the full batch) — same constraint fused_energy_decoder.py documents.
+    # Round the group DOWN to a multiple of 8 and pad the batch up to a
+    # multiple of the group (padded rows run garbage math on zero params —
+    # finite, sliced off below); a divisor-of-B group would compile only for
+    # batches that happen to be 8-smooth (256 yes, the reference's customary
+    # 1000 or a user's 100 no).
+    if b <= group:
+        g = b
+    else:
+        g = max(8 * (group // 8), 8)
+    b_pad = -(-b // g) * g
     theta_t = jnp.swapaxes(theta, 1, 2)  # (B, P, D): params onto sublanes
+    y_in = y if b_pad == b else jnp.pad(y, ((0, b_pad - b), (0, 0)))
+    if b_pad != b:
+        theta_t = jnp.pad(theta_t, ((0, b_pad - b), (0, 0), (0, 0)))
 
     kernel = functools.partial(
         _spline_inv_kernel, bins=bins, min_bin_sizes=tuple(min_bin_sizes),
@@ -196,7 +203,7 @@ def fused_binned_rqs_inverse(
     )
     x, logj = pl.pallas_call(
         kernel,
-        grid=(b // g,),
+        grid=(b_pad // g,),
         in_specs=[
             pl.BlockSpec((g, d), lambda i: (i, 0)),
             pl.BlockSpec((g, p, d), lambda i: (i, 0, 0)),
@@ -206,8 +213,8 @@ def fused_binned_rqs_inverse(
             pl.BlockSpec((g, d), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, d), y.dtype),
-            jax.ShapeDtypeStruct((b, d), y.dtype),
+            jax.ShapeDtypeStruct((b_pad, d), y.dtype),
+            jax.ShapeDtypeStruct((b_pad, d), y.dtype),
         ],
         # the unrolled per-group constrain keeps ~3 (P, D) panels of
         # knot/derivative rows live — past the 16M default scoped-VMEM
@@ -217,7 +224,7 @@ def fused_binned_rqs_inverse(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(y, theta_t)
+    )(y_in, theta_t)
     # rev-direction logdet is the negated forward log-derivative sum
     # (ops/rqs.py:binned_rqs)
-    return x, -jnp.sum(logj, axis=-1)
+    return x[:b], -jnp.sum(logj[:b], axis=-1)
