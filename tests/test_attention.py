@@ -612,6 +612,43 @@ def test_fused_dit_stack_grouped_matches_ungrouped(use_mask):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
 
 
+def test_safe_group_snaps_to_mosaic_alignment():
+    """Groups whose flat (G*N) panel row count is not a multiple of 8 round
+    up to the next multiple of 8 (regression: group=4 at the cINN's N=135
+    produced a 540-row sublane block Mosaic refuses to lower — the same
+    constraint fused_spline/fused_energy_decoder already guard)."""
+    from vit4hep_tpu.ops.fused_dit_block import _safe_group
+
+    assert _safe_group(4, 135) == 8     # 540 % 8 != 0 -> snap
+    assert _safe_group(2, 135) == 8     # 270 % 8 != 0 -> snap
+    assert _safe_group(2, 40) == 2      # 80 % 8 == 0 -> keep
+    assert _safe_group(8, 135) == 8     # 1080 % 8 == 0 -> keep
+    assert _safe_group(1, 135) == 1     # ungrouped path untouched
+    assert _safe_group(0, 7) == 1
+
+
+@pytest.mark.slow
+def test_fused_dit_stack_unaligned_group_matches_ungrouped():
+    """group=4 at odd N runs at the snapped group (8) and stays elementwise
+    equal to the per-element stack kernel — pad rows sliced off."""
+    from vit4hep_tpu.ops.fused_dit_block import fused_dit_stack
+
+    rng = np.random.default_rng(43)
+    h, d, f, n, b, depth = 2, 8, 32, 27, 5, 2
+    hid = h * d
+    x = jnp.asarray(rng.normal(size=(b, n, hid)), jnp.float32)
+    mods = jnp.asarray(rng.normal(size=(b, depth, 6, hid)) * 0.3, jnp.float32)
+    ws = [jnp.asarray(rng.normal(size=(depth,) + s) * 0.1, jnp.float32) for s in
+          [(hid, 3 * hid), (3 * hid,), (hid, hid), (hid,),
+           (hid, f), (f,), (f, hid), (hid,)]]
+    scale = d**-0.5
+
+    out1 = fused_dit_stack(x, mods, *ws, None, h, scale, 1)
+    out4 = fused_dit_stack(x, mods, *ws, None, h, scale, 4)
+    assert out4.shape == (b, n, hid)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(out1), atol=1e-5)
+
+
 @pytest.mark.parametrize("use_mask", [False, True])
 @pytest.mark.slow
 def test_fused_vit_forward_grouped_matches_reference(use_mask):

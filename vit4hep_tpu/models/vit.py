@@ -540,16 +540,25 @@ class _ViTBase(nn.Module):
     def _fit_group(self, n, mlp_hidden):
         """Largest group size <= cfg.fused_group whose stack-kernel VMEM
         estimate fits the 98M gate (halving steps); 0 = nothing fits (the
-        caller falls back to per-block kernels)."""
-        from vit4hep_tpu.ops.fused_dit_block import stack_vmem_estimate
+        caller falls back to per-block kernels). Candidates are snapped to
+        Mosaic-safe sizes first (_safe_group: G*N must be a multiple of 8
+        on the sublane axis) so the gate prices the group the kernel will
+        actually run — a raw 4 at N=135 would be re-rounded to 8 in-kernel
+        and blow past the budget the gate approved."""
+        from vit4hep_tpu.ops.fused_dit_block import (
+            _safe_group, stack_vmem_estimate)
 
         p = self.cfg
         g = max(1, int(p.fused_group))
+        tried = set()
         while g >= 1:
-            if stack_vmem_estimate(
-                n, p.hidden_dim, mlp_hidden, p.depth, p.num_heads, g
-            ) <= 98 * 1024 * 1024:
-                return g
+            eff = _safe_group(g, n)
+            if eff not in tried:
+                tried.add(eff)
+                if stack_vmem_estimate(
+                    n, p.hidden_dim, mlp_hidden, p.depth, p.num_heads, eff
+                ) <= 98 * 1024 * 1024:
+                    return eff
             g //= 2
         return 0
 

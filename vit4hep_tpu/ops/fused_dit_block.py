@@ -287,6 +287,19 @@ def _grouped_mask(mask, n, g):
     return bd
 
 
+def _safe_group(group, n):
+    """Mosaic-safe batch group for the flat grouped panels: the (G*N, ·)
+    blocks put G*N on the sublane axis, which Mosaic requires to be a
+    multiple of 8 (the same constraint ops/fused_spline.py and
+    fused_energy_decoder.py document — a 540-row block from group=4 at
+    N=135 fails to lower). Round G up to the next multiple of 8 unless
+    G*N is already aligned; _pad_batch absorbs the excess rows."""
+    g = max(1, int(group))
+    if g > 1 and (g * n) % 8:
+        g = -(-g // 8) * 8
+    return g
+
+
 def _pad_batch(arrs, b, group):
     """Zero-pad the leading batch axis of each array to a multiple of
     ``group`` (zero rows are numerically inert here: LN of zeros is zeros,
@@ -350,7 +363,7 @@ def _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
     d = hdim // num_heads
     fdim = w1.shape[-1]
     mm_dtype = jnp.float32 if _interpret() else jnp.bfloat16
-    g = max(1, int(group))
+    g = _safe_group(group, n)
     res = (x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask)
     if mask is not None and mask.ndim != 2:
         raise ValueError("fused_dit_stack supports a shared (N, N) mask")
@@ -784,7 +797,7 @@ def _vit_fwd(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout, bout,
     fdim = w1.shape[-1]
     out_dim = wfin.shape[1]
     mm_dtype = jnp.float32 if _interpret() else jnp.bfloat16
-    g = max(1, int(group))
+    g = _safe_group(group, n)
     res = (tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
            bout, w1, b1, w2, b2, wfin, bfin, mask)
     if mask is not None and mask.ndim != 2:
