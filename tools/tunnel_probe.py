@@ -1,0 +1,44 @@
+"""Wedge-safe axon-tunnel liveness probe.
+
+A wedged tunnel hangs device->host fetches forever; killing a hung client
+with SIGTERM (`timeout ...`) is itself a wedge trigger (CLAUDE.md). This
+probe runs the fetch on a daemon thread with a watchdog and ALWAYS exits
+via os._exit — never leaves a hung client and never gets signal-killed
+mid-operation. Exit code 0 = healthy (prints fetch seconds), 2 = wedged.
+
+Run: python tools/tunnel_probe.py [timeout_s]   (default 240)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+
+
+def main():
+    timeout_s = float(sys.argv[1]) if len(sys.argv) > 1 else 240.0
+    ok = []
+
+    def probe():
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        v = float(jnp.zeros(()) + 1.0)
+        ok.append((v, time.perf_counter() - t0))
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if ok:
+        print(f"healthy: fetch {ok[0][1]:.1f}s", flush=True)
+        sys.stdout.flush()
+        os._exit(0)
+    print(f"wedged: fetch hung > {timeout_s:.0f}s", flush=True)
+    sys.stdout.flush()
+    os._exit(2)
+
+
+if __name__ == "__main__":
+    main()
