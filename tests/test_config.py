@@ -137,7 +137,7 @@ def test_compose_group_override():
     cfg = compose("configs", "calochallenge/cfm/calochallenge_ds2",
                   ["model=cfm/cfm_ds2_electrons_tpu",
                    "model.net.param.depth=2"])
-    assert cfg.model.net.param.num_heads == 3  # the _tpu head count
+    assert cfg.model.net.param.num_heads == 4  # the _tpu head count (round 3)
     assert cfg.model.net.param.depth == 2      # value override on top
     # non-group assignments still behave as plain values
     cfg2 = compose("configs", "calochallenge/cfm/calochallenge_ds2",

@@ -1,0 +1,84 @@
+"""Head-count sweep at the CURRENT kernel tier (round-3 megakernel stack).
+
+The `_tpu` configs ship num_heads 3 on round-2 measurements (fused-layout
+attention era: 3 heads +9-11%). The round-3 DiT megakernel's documented
+residue is the per-head lane pad of (N, d) panels — d=80 (6 heads) and
+d=160 (3 heads) both land on 62.5% lane density (80->128, 160->256), while
+d=120 (4 heads) lands on 93.75% (120->128). If the lane-pad model is right,
+4 heads should now beat both shipped options at identical FLOPs/params.
+
+Single process, all arms one TPU session (composed-arm session variance is
+larger than the expected deltas), results stream line-by-line so a mid-run
+wedge still leaves a record. No subprocesses, no signal-killed clients.
+
+Run: python tools/head_sweep.py            # ds2 + ds3 + ds1, heads {6,4,3}
+     python tools/head_sweep.py ds2        # one dataset only
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax
+import jax.numpy as jnp
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (name, yaml, cond_dim, batch, n_iters)
+_WORKLOADS = {
+    "ds2": ("model/cfm/cfm_ds2_electrons.yaml", 46, 256, 8),
+    "ds3": ("model/cfm/cfm_ds3_electrons.yaml", 46, 256, 4),
+    "ds1": ("model/cfm/cfm_ds1_photons.yaml", 6, 256, 8),
+}
+
+
+def _rate(model, cond_dim, batch, n_iters):
+    """bench.py's exact sampler timing: one jitted program per batch, every
+    timed iteration ends in a device->host scalar fetch."""
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+    cond = jax.device_put(
+        np.random.default_rng(0).normal(size=(batch, cond_dim))
+        .astype(np.float32))
+    fn = jax.jit(lambda p, c, k: jnp.sum(model.sample_batch(p, c, k)))
+    float(fn(params, cond, key))  # compile + warm-up fetch
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        s = float(fn(params, cond, jax.random.fold_in(key, 1000 + i)))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s)
+    return batch * n_iters / dt
+
+
+def main():
+    from vit4hep_tpu.utils.config import _load_yaml, instantiate
+
+    which = sys.argv[1:] or ["ds2", "ds3", "ds1"]
+    # warm-up fetch: absorbs the first-transfer backlog penalty of the link
+    float(jnp.zeros(()))
+    print(f"device: {jax.devices()[0].platform}", flush=True)
+    for name in which:
+        yaml_rel, cond_dim, batch, n_iters = _WORKLOADS[name]
+        for heads in (6, 4, 3):
+            cfg = _load_yaml(os.path.join(_REPO, "configs", yaml_rel))
+            cfg["net"]["param"]["num_heads"] = heads
+            model = instantiate(cfg)
+            d = cfg["net"]["param"]["hidden_dim"] // heads
+            r = _rate(model, cond_dim, batch, n_iters)
+            print(f"{name}  heads={heads} (d={d:3d})  {r:8.1f} showers/s",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
