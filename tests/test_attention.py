@@ -194,9 +194,11 @@ def _xla_from_qkv(qkv, h, mask=None, scale=None):
 
 @pytest.mark.parametrize(
     "n,h,d",
-    # d <= 64 runs the head-packed kernel, d = 80 the per-head loop
-    # (ops/fused_qkv_attention.py: packed = d <= 64)
-    [(64, 2, 16), (135, 6, 16), (450, 3, 16), (40, 5, 8), (40, 2, 80)],
+    # d <= 64 runs the head-packed kernel, d = 80/120 the per-head loop
+    # (ops/fused_qkv_attention.py: packed = d <= 64); d = 120 is the
+    # round-3 `_tpu` config head shape (4 heads at hidden 480)
+    [(64, 2, 16), (135, 6, 16), (450, 3, 16), (40, 5, 8), (40, 2, 80),
+     (40, 2, 120)],
 )
 def test_fused_qkv_matches_xla_forward(n, h, d):
     from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
@@ -302,6 +304,28 @@ def test_fused_dit_block_matches_composed(use_mask):
     gf = jax.grad(lambda p: jnp.sum(fus.apply(p, x, c, mask) ** 2))(params)
     for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+@pytest.mark.parametrize("heads,d", [(2, 80), (2, 120)])
+@pytest.mark.slow
+def test_fused_dit_block_per_head_loop_branch(heads, d):
+    """d > 64 takes the per-head loop (not packed_attn_core) inside the
+    megakernel — the production ds2/ds3 (d=80) and `_tpu` config (d=120)
+    sampling branch; the packed-branch tests above never reach it."""
+    from vit4hep_tpu.models.vit import DiTBlock
+
+    hidden = heads * d
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (1, 24, hidden))
+    c = jax.random.normal(jax.random.fold_in(key, 1), (1, hidden))
+
+    ref = DiTBlock(hidden=hidden, num_heads=heads)
+    fus = DiTBlock(hidden=hidden, num_heads=heads, fused_block=True)
+    params = ref.init(key, x, c, None)
+    np.testing.assert_allclose(
+        np.asarray(fus.apply(params, x, c, None)),
+        np.asarray(ref.apply(params, x, c, None)), atol=2e-5,
+    )
 
 
 @pytest.mark.slow
