@@ -104,30 +104,40 @@ def make_train_step(
         updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
         new_params = optax.apply_updates(state.params, updates)
 
-        def apply(_):
-            if state.ema_params is not None:
-                decay = _ema_decay(ema_decay, state.ema_updates + 1)
-                new_ema = jax.tree.map(
+        # skip = per-leaf select, NOT lax.cond: a cond whose branches return
+        # the full (params, opt_state, ema) tuple forces XLA to materialize
+        # tuple copies of every leaf each step inside the scanned train
+        # program (xplane: %conditional + while-carry copy fusions).
+        # jnp.where fuses into the optimizer-update fusions instead, and is
+        # exact — where(ok=False, nan_update, old) returns old, so nonfinite
+        # grads still leave params/opt_state/EMA untouched, and the
+        # step/EMA counters advance exactly as the branches did.
+        def _sel(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, old)
+
+        new_params = _sel(new_params, state.params)
+        new_opt_state = _sel(new_opt_state, state.opt_state)
+        if state.ema_params is not None:
+            decay = _ema_decay(ema_decay, state.ema_updates + 1)
+            new_ema = _sel(
+                jax.tree.map(
                     lambda e, p: e * decay + p * (1.0 - decay),
                     state.ema_params,
                     new_params,
-                )
-                ema_updates = state.ema_updates + 1
-            else:
-                new_ema = None
-                ema_updates = state.ema_updates
-            return state.replace(
-                params=new_params,
-                opt_state=new_opt_state,
-                ema_params=new_ema,
-                step=state.step + 1,
-                ema_updates=ema_updates,
+                ),
+                state.ema_params,
             )
-
-        def skip(_):
-            return state.replace(step=state.step + 1)
-
-        new_state = jax.lax.cond(ok, apply, skip, None)
+            ema_updates = state.ema_updates + ok.astype(state.ema_updates.dtype)
+        else:
+            new_ema = None
+            ema_updates = state.ema_updates
+        new_state = state.replace(
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+            step=state.step + 1,
+            ema_updates=ema_updates,
+        )
         metrics = {
             "loss": loss,
             "grad_norm": grad_norm,
@@ -219,16 +229,19 @@ def _lookahead(inner, sync_period: int, slow_step: float) -> optax.GradientTrans
         sync = count % sync_period == 0
         fast = optax.apply_updates(params, inner_updates)
 
-        def do_sync(_):
-            new_slow = jax.tree.map(
-                lambda s, f: s + slow_step * (f - s), state["slow"], fast
-            )
-            return new_slow, jax.tree.map(lambda ns, p: ns - p, new_slow, params)
-
-        def no_sync(_):
-            return state["slow"], inner_updates
-
-        new_slow, out_updates = jax.lax.cond(sync, do_sync, no_sync, None)
+        # per-leaf select, not lax.cond (same reason as make_train_step's
+        # skip guard: cond branches returning param-sized tuples force XLA
+        # tuple copies every step inside the scanned train program)
+        synced_slow = jax.tree.map(
+            lambda s, f: s + slow_step * (f - s), state["slow"], fast
+        )
+        new_slow = jax.tree.map(
+            lambda ns, s: jnp.where(sync, ns, s), synced_slow, state["slow"]
+        )
+        out_updates = jax.tree.map(
+            lambda ns, p, u: jnp.where(sync, ns - p, u),
+            synced_slow, params, inner_updates,
+        )
         return out_updates, {"inner": inner_state, "slow": new_slow, "count": count}
 
     return optax.GradientTransformation(init, update)
