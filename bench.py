@@ -280,6 +280,28 @@ def bench_torch_cpu_baseline(device="cpu", batch=32, tokens=135, patch_dim=48):
     return batch / (80 * dt_per_eval)
 
 
+def _newest_healthy_capture(repo_dir):
+    """Newest self-preserved bench capture, for the wedged-tunnel fallback:
+    a wedged round's record then still references driver-comparable numbers.
+    Newest by mtime (lexicographic would prefer `_partial` files and
+    mis-order r10 before r9); preserved captures wrap the bench record
+    under "parsed". Returns None when no capture is readable."""
+    try:
+        import glob
+        caps = sorted(glob.glob(os.path.join(
+            repo_dir, "BENCH_MIDROUND_r*.json")), key=os.path.getmtime)
+        if not caps:
+            return None
+        with open(caps[-1]) as f:
+            cap = json.load(f)
+        rec = cap.get("parsed", cap)
+        return {"file": os.path.basename(caps[-1]),
+                "value": rec.get("value"),
+                "extra": rec.get("extra")}
+    except Exception:
+        return None
+
+
 def _probe_device(timeout_s=420.0):
     """Bounded liveness check: a wedged axon tunnel hangs device->host
     fetches forever (CLAUDE.md), which would leave the driver with NO
@@ -302,26 +324,8 @@ def _probe_device(timeout_s=420.0):
     th.start()
     th.join(timeout_s)
     if not ok:
-        # point the record at the newest healthy self-preserved capture so
-        # a wedged round still references driver-comparable numbers
-        last_healthy = None
-        try:
-            import glob
-            # newest by mtime (lexicographic would prefer `_partial` files
-            # and mis-order r10 before r9); preserved captures wrap the
-            # bench record under "parsed"
-            caps = sorted(glob.glob(os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_MIDROUND_r*.json")), key=os.path.getmtime)
-            if caps:
-                with open(caps[-1]) as f:
-                    cap = json.load(f)
-                rec = cap.get("parsed", cap)
-                last_healthy = {"file": os.path.basename(caps[-1]),
-                                "value": rec.get("value"),
-                                "extra": rec.get("extra")}
-        except Exception:
-            pass
+        last_healthy = _newest_healthy_capture(
+            os.path.dirname(os.path.abspath(__file__)))
         print(json.dumps({
             "metric": "calochallenge_ds2_sampling_throughput",
             "value": None,
