@@ -7,7 +7,7 @@ them (VERDICT round 1, weak #1):
 
 - ``ds3_sampling_showers_s``  — ds3 sampling (450 tokens x patch_dim 90)
 - ``ds2_train_it_s``          — full ds2 train step (batch 64): loss + grad
-                                hygiene + AdamW + EMA, state donated
+                                hygiene + AdamW + EMA, state scan-carried
 - ``ds3_train_it_s``          — full ds3 train step (batch 16)
 - ``ds1_sampling_showers_s``  — ds1 photons (5 sections, 88 tokens x patch_dim 5)
 - ``cinn_ds2_showers_s``      — one jitted inverse pass through the 20-block
@@ -21,8 +21,13 @@ cinn_ds2_electrons.yaml, cfm_ds2_energy.yaml; batch 256 per reference
 configs/training/default.yaml:3; RK4 step 0.05 => 80 net evals/shower).
 
 The sampler is one jitted XLA program per batch (x_T ~ N, lax.scan over the
-RK4 grid); the train-step measurement scans 20 donated steps inside one jit so
-the ~28 ms/dispatch tunnel overhead cannot pollute it. ``vs_baseline`` is
+RK4 grid); the train-step measurement scans 20 steps inside one jit so the
+~28 ms/dispatch tunnel overhead cannot pollute it (the state is the scan
+carry, so XLA updates it in place across the 20 inner steps; the OUTER jit
+boundary is deliberately not donated — one state copy per 20 steps, kept so
+numbers stay comparable across banked captures and so the A/B tools that
+share this pattern can reuse an initial state across arms; the production
+train step, experiments/base.py, does donate its per-dispatch state). ``vs_baseline`` is
 measured against an equivalent torch-CPU net eval (the reference's own
 PyTorch stack on the CPU of this host), extrapolated to showers/sec; the
 BASELINE.json target is >= 20x that number.
@@ -146,9 +151,10 @@ def bench_energy() -> float:
 
 
 def bench_train_ds2(batch=64, inner=20, n_iters=3) -> float:
-    """Full ds2 train-step throughput (it/s): `inner` donated steps scanned
+    """Full ds2 train-step throughput (it/s): `inner` scan-carried steps
     inside ONE jitted program, so per-dispatch tunnel overhead (~28 ms) does
-    not bound the measurement (BASELINE.md round-1 finding)."""
+    not bound the measurement (BASELINE.md round-1 finding). See the module
+    docstring for why the outer jit boundary is not donated."""
     return _timed_train("model/cfm/cfm_ds2_electrons.yaml",
                         shape=(1, 45, 16, 9), batch=batch,
                         inner=inner, n_iters=n_iters)
@@ -285,21 +291,26 @@ def _newest_healthy_capture(repo_dir):
     a wedged round's record then still references driver-comparable numbers.
     Newest by mtime (lexicographic would prefer `_partial` files and
     mis-order r10 before r9); preserved captures wrap the bench record
-    under "parsed". Returns None when no capture is readable."""
+    under "parsed". An unreadable newest file (torn manual bank, disk
+    full) falls back to the next-newest readable one — "healthy" means
+    readable, not merely newest. Returns None when none is readable."""
     try:
         import glob
         caps = sorted(glob.glob(os.path.join(
             repo_dir, "BENCH_MIDROUND_r*.json")), key=os.path.getmtime)
-        if not caps:
-            return None
-        with open(caps[-1]) as f:
-            cap = json.load(f)
-        rec = cap.get("parsed", cap)
-        return {"file": os.path.basename(caps[-1]),
-                "value": rec.get("value"),
-                "extra": rec.get("extra")}
     except Exception:
         return None
+    for path in reversed(caps):
+        try:
+            with open(path) as f:
+                cap = json.load(f)
+            rec = cap.get("parsed", cap)
+            return {"file": os.path.basename(path),
+                    "value": rec.get("value"),
+                    "extra": rec.get("extra")}
+        except Exception:
+            continue
+    return None
 
 
 def _probe_device(timeout_s=420.0):

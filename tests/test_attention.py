@@ -649,16 +649,35 @@ def test_safe_group_snaps_to_mosaic_alignment():
     assert _safe_group(8, 135) == 8     # 1080 % 8 == 0 -> keep
     assert _safe_group(1, 135) == 1     # ungrouped path untouched
     assert _safe_group(0, 7) == 1
+    # minimal rounding: the target is (G*N) % 8 == 0, i.e. multiples of
+    # 8/gcd(N, 8) — NOT of 8 (over-rounding would inflate the quadratic
+    # (G*N)^2 score VMEM and make _fit_group drop viable groups)
+    assert _safe_group(2, 6) == 4       # gcd 2 -> multiples of 4
+    assert _safe_group(3, 4) == 4       # gcd 4 -> multiples of 2
+    assert _safe_group(5, 2) == 8       # gcd 2 -> multiples of 4
+    assert _safe_group(3, 16) == 3      # N already 8-aligned -> keep
+    for n in (2, 4, 6, 135):
+        for g in range(1, 20):
+            eff = _safe_group(g, n)
+            assert eff >= g and (eff == 1 or (eff * n) % 8 == 0)
+            # minimality: no smaller aligned G' in [g, eff)
+            assert not any((k * n) % 8 == 0 for k in range(g, eff)), (g, n)
 
 
+@pytest.mark.parametrize("n,group", [
+    (27, 4),   # odd N: snaps to 8 (multiples of 8)
+    (6, 2),    # even N, gcd(N,8)=2: minimal snap to 4, NOT 8
+    (12, 3),   # gcd(N,8)=4: minimal snap to 4 (multiples of 2)
+])
 @pytest.mark.slow
-def test_fused_dit_stack_unaligned_group_matches_ungrouped():
-    """group=4 at odd N runs at the snapped group (8) and stays elementwise
-    equal to the per-element stack kernel — pad rows sliced off."""
+def test_fused_dit_stack_unaligned_group_matches_ungrouped(n, group):
+    """A Mosaic-unaligned requested group runs at the (minimally) snapped
+    group and stays elementwise equal to the per-element stack kernel —
+    pad rows sliced off."""
     from vit4hep_tpu.ops.fused_dit_block import fused_dit_stack
 
     rng = np.random.default_rng(43)
-    h, d, f, n, b, depth = 2, 8, 32, 27, 5, 2
+    h, d, f, b, depth = 2, 8, 32, 5, 2
     hid = h * d
     x = jnp.asarray(rng.normal(size=(b, n, hid)), jnp.float32)
     mods = jnp.asarray(rng.normal(size=(b, depth, 6, hid)) * 0.3, jnp.float32)
@@ -668,9 +687,9 @@ def test_fused_dit_stack_unaligned_group_matches_ungrouped():
     scale = d**-0.5
 
     out1 = fused_dit_stack(x, mods, *ws, None, h, scale, 1)
-    out4 = fused_dit_stack(x, mods, *ws, None, h, scale, 4)
-    assert out4.shape == (b, n, hid)
-    np.testing.assert_allclose(np.asarray(out4), np.asarray(out1), atol=1e-5)
+    outg = fused_dit_stack(x, mods, *ws, None, h, scale, group)
+    assert outg.shape == (b, n, hid)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(out1), atol=1e-5)
 
 
 @pytest.mark.parametrize("use_mask", [False, True])

@@ -55,3 +55,15 @@ def test_degrades_to_none(tmp_path):
     bad = tmp_path / "BENCH_MIDROUND_r99.json"
     bad.write_text("{not json")
     assert bench._newest_healthy_capture(str(tmp_path)) is None
+
+
+def test_corrupt_newest_falls_back_to_older_readable(tmp_path):
+    t0 = time.time() - 1000
+    _write(tmp_path / "BENCH_MIDROUND_r03.json",
+           {"parsed": {"value": 310.83, "extra": {"k": 2}}}, t0)
+    bad = tmp_path / "BENCH_MIDROUND_r04_partial.json"
+    bad.write_text("{torn write")
+    os.utime(bad, (t0 + 20, t0 + 20))
+    got = bench._newest_healthy_capture(str(tmp_path))
+    assert got == {"file": "BENCH_MIDROUND_r03.json", "value": 310.83,
+                   "extra": {"k": 2}}

@@ -23,34 +23,17 @@ from __future__ import annotations
 
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from tools._bench_util import reassert_platform, sampler_rate  # noqa: E402
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+reassert_platform()
 
-import jax
-import jax.numpy as jnp
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _rate(model, params, batch):
-    cond = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch, model.condition_dim))
-        .astype(np.float32))
-    fn = jax.jit(lambda p, c, k: jnp.sum(model.sample_batch(p, c, k)))
-    key = jax.random.PRNGKey(0)
-    float(fn(params, cond, key))  # compile + tunnel warm-up fetch
-    n, t0 = 6, time.perf_counter()
-    for i in range(n):
-        float(fn(params, cond, jax.random.fold_in(key, i)))
-    return batch * n / (time.perf_counter() - t0)
 
 
 def main():
@@ -118,7 +101,9 @@ def main():
             "_apply_spline", new_apply)
         bijectors.Permute.forward = patches.get("forward", new_perm_fwd)
         bijectors.Permute.inverse = patches.get("inverse", new_perm_inv)
-        r = _rate(model, params, batch)
+        # seed_base=0 keeps this tool's historical fold_in offsets (its
+        # banked A/B logs) — sampler_rate's default of 1000 is head_sweep's
+        r = sampler_rate(model, batch=batch, params=params, seed_base=0)
         print(f"{r:8.1f} showers/s  {name}", flush=True)
 
 

@@ -19,19 +19,15 @@ from __future__ import annotations
 
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from tools._bench_util import reassert_platform, sampler_rate  # noqa: E402
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+reassert_platform()
 
-import jax
-import jax.numpy as jnp
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -43,20 +39,6 @@ _FAMILIES = {
 }
 
 
-def _rate(model, cond_dim, batch, n_iters):
-    key = jax.random.PRNGKey(0)
-    params = model.init_params(key)
-    cond = jax.device_put(
-        np.random.default_rng(0).normal(size=(batch, cond_dim))
-        .astype(np.float32))
-    fn = jax.jit(lambda p, c, k: jnp.sum(model.sample_batch(p, c, k)))
-    float(fn(params, cond, key))  # compile + warm-up fetch
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        s = float(fn(params, cond, jax.random.fold_in(key, 1000 + i)))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(s)
-    return batch * n_iters / dt
 
 
 def main():
@@ -68,7 +50,7 @@ def main():
     for name, (yaml_rel, cond_dim, n_iters, tokens) in _FAMILIES.items():
         model = instantiate(
             _load_yaml(os.path.join(_REPO, "configs", yaml_rel)))
-        r = _rate(model, cond_dim, batch, n_iters)
+        r = sampler_rate(model, cond_dim, batch, n_iters)
         print(f"{name:14s} ({tokens:3d} tokens)  {r:8.1f} showers/s",
               flush=True)
 

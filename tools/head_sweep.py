@@ -19,19 +19,14 @@ from __future__ import annotations
 
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from tools._bench_util import reassert_platform, sampler_rate  # noqa: E402
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+reassert_platform()
 
-import jax
-import jax.numpy as jnp
+import jax  # noqa: E402
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -43,26 +38,10 @@ _WORKLOADS = {
 }
 
 
-def _rate(model, cond_dim, batch, n_iters):
-    """bench.py's exact sampler timing: one jitted program per batch, every
-    timed iteration ends in a device->host scalar fetch."""
-    key = jax.random.PRNGKey(0)
-    params = model.init_params(key)
-    cond = jax.device_put(
-        np.random.default_rng(0).normal(size=(batch, cond_dim))
-        .astype(np.float32))
-    fn = jax.jit(lambda p, c, k: jnp.sum(model.sample_batch(p, c, k)))
-    float(fn(params, cond, key))  # compile + warm-up fetch
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        s = float(fn(params, cond, jax.random.fold_in(key, 1000 + i)))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(s)
-    return batch * n_iters / dt
-
-
 def main():
     from vit4hep_tpu.utils.config import _load_yaml, instantiate
+
+    import jax.numpy as jnp
 
     which = sys.argv[1:] or ["ds2", "ds3", "ds1"]
     # warm-up fetch: absorbs the first-transfer backlog penalty of the link
@@ -75,7 +54,7 @@ def main():
             cfg["net"]["param"]["num_heads"] = heads
             model = instantiate(cfg)
             d = cfg["net"]["param"]["hidden_dim"] // heads
-            r = _rate(model, cond_dim, batch, n_iters)
+            r = sampler_rate(model, cond_dim, batch, n_iters)
             print(f"{name}  heads={heads} (d={d:3d})  {r:8.1f} showers/s",
                   flush=True)
 

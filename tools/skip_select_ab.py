@@ -6,7 +6,9 @@ scanned train program XLA materializes tuple copies of every leaf each
 step (xplane: %conditional + while-carry copies, tools/train_roofline.py).
 The shipped implementation now blends per-leaf with ``jnp.where``. This
 tool keeps a frozen copy of the cond version and times both as full
-donated 20-step scanned ds2/ds3 train programs in ONE process, arms
+20-step scanned ds2/ds3 train programs (bench.py's exact pattern: state
+scan-carried, outer jit boundary NOT donated — both arms share the same
+initial params, which donation would invalidate) in ONE process, arms
 alternated (the tools/cinn_micro_ab.py pattern — never signal-kill a TPU
 client between arms).
 
@@ -100,6 +102,10 @@ def main():
     yaml_rel, shape, batch = _CASES[case]
     inner = 2 if smoke else 20
     rounds = 1 if smoke else 4
+    if smoke:
+        # plumbing check only: batch 8 keeps both arms' CPU compiles to
+        # tens of seconds (official batch = minutes on this 1-vCPU host)
+        batch = 8
 
     model = instantiate(_load_yaml(os.path.join(_REPO, "configs", yaml_rel)))
     params = model.init_params(jax.random.PRNGKey(0))
@@ -115,16 +121,20 @@ def main():
         size=(batch, 46)).astype(np.float32))
     loss_fn = lambda p, xx, cc, rng: model.batch_loss(p, xx, cc, rng)
 
+    # zero-arg builders so each arm's exact kwargs are visible in one place
+    # (the lib signature has the extra clip_grad_value kwarg)
+    builders = [
+        ("select", lambda tx: ts.make_train_step(
+            loss_fn, tx, clip_grad_value=None, clip_grad_norm=1.0,
+            max_grad_norm=50.0, ema_decay=0.9999)),
+        ("cond", lambda tx: make_cond_train_step(
+            loss_fn, tx, clip_grad_norm=1.0, max_grad_norm=50.0,
+            ema_decay=0.9999)),
+    ]
     arms = {}
-    for name, maker in [("select", ts.make_train_step),
-                        ("cond", make_cond_train_step)]:
+    for name, builder in builders:
         tx = ts.make_optimizer(TCfg())
-        step = maker(loss_fn, tx, clip_grad_norm=1.0, max_grad_norm=50.0,
-                     ema_decay=0.9999)
-        if name == "select":  # lib signature has extra kwarg default
-            step = ts.make_train_step(loss_fn, tx, clip_grad_value=None,
-                                      clip_grad_norm=1.0, max_grad_norm=50.0,
-                                      ema_decay=0.9999)
+        step = builder(tx)
         state = ts.create_train_state(params, tx, use_ema=True)
 
         @jax.jit

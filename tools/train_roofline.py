@@ -4,8 +4,10 @@ Sampling got the shape-stage roofline (tools/roofline_ds3.py) and the xplane
 op breakdown (tools/profile_xplane.py); training only ever had it/s A/Bs
 (tools/train_attn_bench.py). This tool closes the gap:
 
-- measures the donated 20-step scanned train program exactly as bench.py's
-  ``_timed_train`` builds it (loss + grad + clip + AdamW + EMA, state donated),
+- measures the 20-step scanned train program exactly as bench.py's
+  ``_timed_train`` builds it (loss + grad + clip + AdamW + EMA; the state is
+  the scan carry — the outer jit boundary is NOT donated, matching bench.py
+  so the numbers stay comparable),
 - derives matmul MFU from the analytic FLOP count — 3x the forward matmuls
   (fwd + dL/dx + dL/dW), using BASELINE.md's per-block formula
   12*H^2*N + 2*N^2*H (embedders/adaLN ~0.6%, ignored, consistent with the
@@ -22,7 +24,11 @@ Timing matches reference semantics: the reference logs ``time_per_step``
 at the same batch.
 
 Run (serial on this 1-vCPU host, never concurrently with bench/tests):
-    python tools/train_roofline.py [--ds3] [--profile] [--smoke]
+    python tools/train_roofline.py [--ds3] [--profile] [--profile-only] [--smoke]
+
+--profile appends an xplane trace + op summary after the sweep;
+--profile-only skips the sweep/arms and goes straight to the trace (for
+re-profiling on a fragile tunnel without re-paying the sweep).
 """
 
 from __future__ import annotations
@@ -143,6 +149,11 @@ def main():
     yaml_rel, shape, batch0, n_tok, hidden, depth = _CASES[case]
     inner = 2 if smoke else 20
     n_iters = 1 if smoke else 3
+    if smoke:
+        # a smoke validates plumbing, not timing: batch 8 keeps the CPU
+        # compile of the scanned train program to tens of seconds (the
+        # official batch takes several minutes on this 1-vCPU host)
+        batch0 = 8
 
     float(jnp.zeros(()))  # absorb any first-fetch tunnel backlog
     print(f"device: {jax.devices()[0].platform}  case {case} "
@@ -216,7 +227,7 @@ def main():
                   f"({1e3 * (base_per_step - per_step):+6.2f} ms vs official)",
                   flush=True)
 
-    if "--profile" in sys.argv:
+    if "--profile" in sys.argv or "--profile-only" in sys.argv:
         import tempfile
 
         from tools.profile_xplane import summarize

@@ -538,13 +538,15 @@ class _ViTBase(nn.Module):
         )
 
     def _fit_group(self, n, mlp_hidden):
-        """Largest group size <= cfg.fused_group whose stack-kernel VMEM
-        estimate fits the 98M gate (halving steps); 0 = nothing fits (the
-        caller falls back to per-block kernels). Candidates are snapped to
-        Mosaic-safe sizes first (_safe_group: G*N must be a multiple of 8
-        on the sublane axis) so the gate prices the group the kernel will
-        actually run — a raw 4 at N=135 would be re-rounded to 8 in-kernel
-        and blow past the budget the gate approved."""
+        """Largest VMEM-fitting group, searching down from cfg.fused_group
+        by halving; 0 = nothing fits (the caller falls back to per-block
+        kernels). Candidates are snapped to Mosaic-safe sizes first
+        (_safe_group: G*N must be a multiple of 8 on the sublane axis) so
+        the gate prices the group the kernel will actually run — a raw 4
+        at N=135 would be re-rounded to 8 in-kernel and blow past the
+        budget the gate approved. The snap rounds up, so the returned
+        group can EXCEED cfg.fused_group (e.g. 4 -> 8 at odd N); the
+        config value is the search start, not a hard cap."""
         from vit4hep_tpu.ops.fused_dit_block import (
             _safe_group, stack_vmem_estimate)
 

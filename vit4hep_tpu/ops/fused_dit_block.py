@@ -35,6 +35,7 @@ reshaped); optional shared boolean (N, N) mask, True = attend.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -292,11 +293,15 @@ def _safe_group(group, n):
     blocks put G*N on the sublane axis, which Mosaic requires to be a
     multiple of 8 (the same constraint ops/fused_spline.py and
     fused_energy_decoder.py document — a 540-row block from group=4 at
-    N=135 fails to lower). Round G up to the next multiple of 8 unless
-    G*N is already aligned; _pad_batch absorbs the excess rows."""
+    N=135 fails to lower). Round G up MINIMALLY: the smallest G' >= G
+    with (G'*N) % 8 == 0 is a multiple of 8/gcd(N, 8), not of 8 — e.g.
+    N=6 needs only G'=4 from G=2, and over-rounding to 8 would quadruple
+    the quadratic (G*N, G*N) score footprint the VMEM gate prices.
+    _pad_batch absorbs the excess rows."""
     g = max(1, int(group))
     if g > 1 and (g * n) % 8:
-        g = -(-g // 8) * 8
+        m = 8 // math.gcd(n, 8)
+        g = -(-g // m) * m
     return g
 
 
