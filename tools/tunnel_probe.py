@@ -2,9 +2,11 @@
 
 A wedged tunnel hangs device->host fetches forever; killing a hung client
 with SIGTERM (`timeout ...`) is itself a wedge trigger (CLAUDE.md). This
-probe runs the fetch on a daemon thread with a watchdog and ALWAYS exits
-via os._exit — never leaves a hung client and never gets signal-killed
-mid-operation. Exit code 0 = healthy (prints fetch seconds), 2 = wedged.
+probe runs the fetch on a daemon thread with a watchdog. A wedged verdict
+exits via os._exit (teardown would hang forever); a healthy verdict exits
+gracefully so the client closes cleanly — an abrupt client death is itself
+the documented wedge trigger. Exit code 0 = healthy (prints fetch
+seconds), 2 = wedged.
 
 Run: python tools/tunnel_probe.py [timeout_s]   (default 240)
 """
@@ -34,7 +36,11 @@ def main():
     if ok:
         print(f"healthy: fetch {ok[0][1]:.1f}s", flush=True)
         sys.stdout.flush()
-        os._exit(0)
+        # graceful exit: PJRT teardown completes on a healthy tunnel, and an
+        # abrupt client death (os._exit) is itself the documented wedge
+        # trigger — reserve the hard exit for the wedged path, where teardown
+        # would hang forever.
+        sys.exit(0)
     print(f"wedged: fetch hung > {timeout_s:.0f}s", flush=True)
     sys.stdout.flush()
     os._exit(2)
