@@ -36,10 +36,16 @@ def main():
     if ok:
         print(f"healthy: fetch {ok[0][1]:.1f}s", flush=True)
         sys.stdout.flush()
-        # graceful exit: PJRT teardown completes on a healthy tunnel, and an
-        # abrupt client death (os._exit) is itself the documented wedge
-        # trigger — reserve the hard exit for the wedged path, where teardown
-        # would hang forever.
+        # Graceful exit preferred: PJRT teardown completes on a healthy
+        # tunnel, and an abrupt client death is itself the documented wedge
+        # trigger. But a wedge can arrive *between* the successful fetch and
+        # teardown (observed to happen spontaneously), so arm a bounded
+        # watchdog that pins exit code 0 if teardown hangs or raises.
+        def _force_exit():
+            time.sleep(30.0)
+            os._exit(0)
+
+        threading.Thread(target=_force_exit, daemon=True).start()
         sys.exit(0)
     print(f"wedged: fetch hung > {timeout_s:.0f}s", flush=True)
     sys.stdout.flush()
