@@ -13,6 +13,11 @@ them (VERDICT round 1, weak #1):
 - ``cinn_ds2_showers_s``      — one jitted inverse pass through the 20-block
                                 RQS flow (cinn_ds2_electrons.yaml)
 - ``energy_u_vec_s``          — energy-model (ParallelTransformer CFM) sampling
+- ``lemurs_showers_s``        — LEMURS CFM sampling (135 tokens, 53-dim cond;
+                                reference experiments/lemurs/experiment.py:198-296)
+- ``calohadronic_showers_s``  — CaloHadronic CFM sampling (606 tokens — the
+                                longest shipped sequence)
+- ``calogan_showers_s``       — CaloGAN e+ CFM sampling (84 tokens)
 
 Workloads are pinned to the *shipped* config files (configs/model/...), which
 mirror the reference definitions (reference configs/model/cfm/
@@ -55,7 +60,8 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 
 # measured anchors for the extras (BASELINE.md; energy re-anchored round 2
 # when its workload was pinned to batch 1024 — round-1's 2762 used a
-# different ad-hoc batch)
+# different ad-hoc batch; the three non-CaloChallenge families were first
+# measured round 3 via tools/family_rates.py, so their anchors are round-3)
 ROUND1 = {
     "ds2_sampling_showers_s": 182.4,
     "ds3_sampling_showers_s": 38.7,
@@ -64,12 +70,15 @@ ROUND1 = {
     "ds1_sampling_showers_s": 414.6,
     "cinn_ds2_showers_s": 90.5,
     "energy_u_vec_s": 2467.0,
+    "lemurs_showers_s": 315.4,         # round-3 anchor (2026-08-19)
+    "calohadronic_showers_s": 69.3,    # round-3 anchor (2026-08-19)
+    "calogan_showers_s": 453.6,        # round-3 anchor (2026-08-19)
 }
 
 # skip remaining secondary metrics once this much wall time is spent: a
 # degraded tunnel must not starve the driver's per-round record of the
 # headline metric (the JSON line still records every key, null if skipped)
-EXTRA_TIME_BUDGET_S = 1320.0  # 6 extras x (compile + timed iters) on a healthy tunnel
+EXTRA_TIME_BUDGET_S = 1980.0  # 9 extras x (compile + timed iters) on a healthy tunnel
 
 
 def _model_from_yaml(rel_path: str):
@@ -148,6 +157,25 @@ def bench_cinn_ds2() -> float:
 def bench_energy() -> float:
     model = _model_from_yaml("model/cfm/cfm_ds2_energy.yaml")
     return _timed_sampler(model, cond_dim=1, batch=1024, n_iters=4)
+
+
+def bench_lemurs() -> float:
+    """LEMURS CFM sampling (135 tokens, the ds2 geometry with 53-dim cond)."""
+    model = _model_from_yaml("model/cfm_lemurs/cfm_lemurs.yaml")
+    return _timed_sampler(model, cond_dim=53, n_iters=8)
+
+
+def bench_calohadronic() -> float:
+    """CaloHadronic CFM sampling — 606 tokens (30 ECal + 576 HCal), the
+    longest shipped sequence (exercises the fused-layout VMEM ceiling)."""
+    model = _model_from_yaml("model/cfm_calohad/cfm_calohad.yaml")
+    return _timed_sampler(model, cond_dim=59, n_iters=3)
+
+
+def bench_calogan() -> float:
+    """CaloGAN e+ CFM sampling (84 tokens)."""
+    model = _model_from_yaml("model/cfm_calogan/cfm_eplus.yaml")
+    return _timed_sampler(model, cond_dim=4, n_iters=8)
 
 
 def bench_train_ds2(batch=64, inner=20, n_iters=3) -> float:
@@ -356,7 +384,7 @@ def _bank_partial(record):
     mid-run wedge or kill then still leaves everything measured so far, and
     the wedged-probe fallback's newest-capture glob picks the file up."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_MIDROUND_r03_partial.json")
+                        "BENCH_MIDROUND_r04_partial.json")
     try:
         with open(path + ".tmp", "w") as f:
             json.dump(record, f, indent=1)
@@ -381,6 +409,9 @@ def main():
         ("ds1_sampling_showers_s", bench_ds1, "showers/sec"),
         ("cinn_ds2_showers_s", bench_cinn_ds2, "showers/sec"),
         ("energy_u_vec_s", bench_energy, "u-vectors/sec"),
+        ("lemurs_showers_s", bench_lemurs, "showers/sec"),
+        ("calohadronic_showers_s", bench_calohadronic, "showers/sec"),
+        ("calogan_showers_s", bench_calogan, "showers/sec"),
     ]
     t_start = time.perf_counter()
     for name, fn, unit in extra_specs:
