@@ -155,8 +155,11 @@ def bench_cinn_ds2() -> float:
 
 
 def bench_energy() -> float:
+    """n_iters 8 (was 4): the round-4 recapture showed within-session spread
+    is ±1% but official inter-session readings drift ±6% (BASELINE.md
+    round-4 campaign) — more timed iters halve the per-capture noise share."""
     model = _model_from_yaml("model/cfm/cfm_ds2_energy.yaml")
-    return _timed_sampler(model, cond_dim=1, batch=1024, n_iters=4)
+    return _timed_sampler(model, cond_dim=1, batch=1024, n_iters=8)
 
 
 def bench_lemurs() -> float:
