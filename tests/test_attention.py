@@ -3,6 +3,8 @@
 Runs in Pallas interpreter mode on CPU; the same code compiles on TPU.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -748,3 +750,103 @@ def test_vit_fused_group_threads_through_model():
         np.asarray(net_b.apply(p, x, t, c)), np.asarray(net_a.apply(p, x, t, c)),
         atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+@pytest.mark.slow
+def test_residual_saving_backward_matches_recompute(use_mask):
+    """The TRAIN-mode residual-saving backward (VERDICT r3 #1) produces the
+    same grads as the recompute backward and the composed-reference VJP, on
+    BOTH the whole-ViT and block-stack entry points; the VMEM-fallback
+    branch (residuals too big) is forced and must agree too."""
+    from vit4hep_tpu.ops import fused_dit_block as fdb
+
+    rng = np.random.default_rng(7)
+    h, d, f, n, b, depth, pdim, odim = 2, 8, 32, 40, 2, 2, 6, 12
+    hid = h * d
+    tokens = jnp.asarray(rng.normal(size=(b, n, pdim)), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(n, hid)), jnp.float32)
+    mods = jnp.asarray(rng.normal(size=(b, depth, 6, hid)) * 0.3, jnp.float32)
+    fmod = jnp.asarray(rng.normal(size=(b, 2, hid)) * 0.3, jnp.float32)
+    wemb = jnp.asarray(rng.normal(size=(pdim, hid)) * 0.1, jnp.float32)
+    bemb = jnp.asarray(rng.normal(size=(hid,)) * 0.1, jnp.float32)
+    ws = [jnp.asarray(rng.normal(size=(depth,) + s) * 0.1, jnp.float32) for s in
+          [(hid, 3 * hid), (3 * hid,), (hid, hid), (hid,),
+           (hid, f), (f,), (f, hid), (hid,)]]
+    wfin = jnp.asarray(rng.normal(size=(hid, odim)) * 0.1, jnp.float32)
+    bfin = jnp.asarray(rng.normal(size=(odim,)) * 0.1, jnp.float32)
+    mask = jnp.asarray(layer_causal_mask((5, 4, 2))) if use_mask else None
+    scale = d**-0.5
+
+    vit_args = (tokens, pos, mods, fmod, wemb, bemb, *ws, wfin, bfin)
+    argnums = tuple(range(len(vit_args)))
+
+    def vit_loss(kernel_fn, *a):
+        return jnp.sum(kernel_fn(*a, mask, h, scale, 1) ** 2)
+
+    def vit_loss_ref(*a):
+        return jnp.sum(fdb.vit_forward_reference(*a, mask, h, scale) ** 2)
+
+    # residual-saving branch engages at these shapes (assert it does)
+    out, (res, saved) = fdb._vit_fwd_train(*vit_args, mask, h, scale, 1)
+    assert saved is not None, "train kernel did not engage"
+    assert len(saved) == 5 and saved[0].shape == (b, depth + 1, n, hid)
+
+    g_sav = jax.grad(functools.partial(vit_loss, fdb.fused_vit_forward),
+                     argnums=argnums)(*vit_args)
+    g_ref = jax.grad(vit_loss_ref, argnums=argnums)(*vit_args)
+    for gs, gr in zip(g_sav, g_ref):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
+                                   atol=2e-3, rtol=1e-4)
+
+    # force the no-a1 residual tier (a1 recomputed from h2 @ w1 in-kernel)
+    orig = fdb.train_residual_bytes
+    fdb.train_residual_bytes = (
+        lambda n_, h_, f_, d_, rb, save_a1=True:
+        (1 << 40) if save_a1 else orig(n_, h_, f_, d_, rb, save_a1))
+    try:
+        _, (_, saved_na) = fdb._vit_fwd_train(*vit_args, mask, h, scale, 1)
+        assert saved_na is not None and saved_na[3] is None
+        g_na = jax.grad(functools.partial(vit_loss, fdb.fused_vit_forward),
+                        argnums=argnums)(*vit_args)
+    finally:
+        fdb.train_residual_bytes = orig
+    for gs, gn in zip(g_sav, g_na):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gn),
+                                   atol=2e-3, rtol=1e-4)
+
+    # force the VMEM fallback (recompute backward) and require agreement
+    fdb.train_residual_bytes = lambda *a, **k: 1 << 40
+    try:
+        out_fb, (_, saved_fb) = fdb._vit_fwd_train(*vit_args, mask, h, scale, 1)
+        assert saved_fb is None
+        g_fb = jax.grad(functools.partial(vit_loss, fdb.fused_vit_forward),
+                        argnums=argnums)(*vit_args)
+    finally:
+        fdb.train_residual_bytes = orig
+    np.testing.assert_allclose(np.asarray(out_fb), np.asarray(out), atol=1e-5)
+    for gs, gf in zip(g_sav, g_fb):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gf),
+                                   atol=2e-3, rtol=1e-4)
+
+    # block-stack entry point: saved branch vs composed reference grads
+    x0 = jnp.asarray(rng.normal(size=(b, n, hid)), jnp.float32)
+    sargs = (x0, mods, *ws)
+
+    def stack_loss(*a):
+        return jnp.sum(fdb.fused_dit_stack(*a, mask, h, scale, 1) ** 2)
+
+    def stack_ref(x, m, *w):
+        y = x
+        for li in range(depth):
+            y = fdb.dit_block_reference(y, m[:, li], *[wi[li] for wi in w],
+                                        mask, h, scale)
+        return jnp.sum(y ** 2)
+
+    _, (_, ssaved) = fdb._stack_fwd_train(*sargs, mask, h, scale, 1)
+    assert ssaved is not None
+    gs_k = jax.grad(stack_loss, argnums=tuple(range(len(sargs))))(*sargs)
+    gs_r = jax.grad(stack_ref, argnums=tuple(range(len(sargs))))(*sargs)
+    for a, r in zip(gs_k, gs_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=1e-4)

@@ -114,10 +114,15 @@ def _attn_merged(qkv, mask, h_tot, d, scale, mm, mm_dtype):
 
 
 def _block_body(x, mod, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, *,
-                num_heads, head_dim, scale, mm_dtype):
+                num_heads, head_dim, scale, mm_dtype, want_res=False):
     """One adaLN-Zero block on VMEM-resident VALUES: x (N, H) f32, mod
     (6, H) f32, weights in ``mm_dtype`` (or castable), optional mask
-    (N, N). Shared by the single-block and block-stack kernels."""
+    (N, N). Shared by the single-block and block-stack kernels.
+
+    ``want_res`` additionally returns the backward's residual set
+    (qkv, ctx, a1, y) — the intermediates whose recompute costs matmuls;
+    everything else (LN stats, softmax, gelu) is cheap to re-derive. Used
+    by the TRAIN-mode kernels (residual-saving backward, VERDICT r3 #1)."""
 
     def mm(a, w, dims=((1,), (0,))):
         return jax.lax.dot_general(
@@ -134,10 +139,13 @@ def _block_body(x, mod, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, *,
 
     # ---- MLP half --------------------------------------------------------
     h2 = _ln(x1) * (1.0 + mod[4:5]) + mod[3:4]
-    hid = jax.nn.gelu(mm(h2, w1) + b1[None, :].astype(jnp.float32),
-                      approximate=True)
+    a1 = mm(h2, w1) + b1[None, :].astype(jnp.float32)
+    hid = jax.nn.gelu(a1, approximate=True)
     y = mm(hid, w2) + b2[None, :].astype(jnp.float32)
-    return x1 + mod[5:6] * y
+    out = x1 + mod[5:6] * y
+    if want_res:
+        return out, (qkv, merged, a1, y)
+    return out
 
 
 def _mod_bcast(oh, mod, k):
@@ -445,40 +453,490 @@ def _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
     return out, res
 
 
-def _stack_bwd(num_heads, scale, group, res, g):
-    """All-Pallas stack backward: recompute each block's input with the
-    per-block forward megakernel (L-1 extra forwards), then run the
-    backward megakernel per block in reverse — so `fused_block: true`
-    training never touches the composed path. ``group`` only shapes the
-    forward's grid; the residuals are the raw inputs, so the backward is
-    group-independent."""
-    x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask = res
+# ---------------------------------------------------------------------------
+# TRAIN mode: residual-saving backward (VERDICT r3 #1)
+#
+# The measured-and-rejected backward recomputed the whole forward per block
+# in-kernel (flash style) — net slower than the composed train step. The
+# train-mode forward kernels below write the per-block residual set whose
+# recompute costs matmuls — block inputs (f32, they feed LayerNorm stats)
+# plus qkv / ctx / a1(pre-gelu MLP hidden) / y (mm_dtype) — and the
+# residual-consuming backward kernel re-derives only the cheap pieces
+# (LN stats, softmax from saved qkv, gelu) in VMEM. Saved big-matmul
+# recompute per block: the qkv panel, both MLP panels and PV; re-done: the
+# per-head score matmul (q k^T, needed for p anyway) and the (H, H)
+# out-projection. When the residual windows would bust VMEM the vjp-fwd
+# falls back to the recompute backward — sampling primals are untouched
+# either way (they run the residual-free kernels).
+# ---------------------------------------------------------------------------
+
+
+def train_residual_bytes(n, hdim, fdim, depth, res_bytes, save_a1=True):
+    """Per-batch-element bytes of the train kernels' residual set. The a1
+    (pre-gelu MLP hidden, F = 4H per token — the largest chunk) is dropped
+    when VMEM is tight; the backward then recomputes it with one h2 @ w1
+    matmul while still skipping the qkv / W2 / PV recomputes."""
+    return ((depth + 1) * n * hdim * 4
+            + depth * n * (3 * hdim + hdim + (fdim if save_a1 else 0) + hdim)
+            * res_bytes)
+
+
+def _store_block_res(li, x, r, xs_ref, qkvs_ref, ctxs_ref, a1s_ref, ys_ref):
+    qkv, ctx, a1, y = r
+    xs_ref[0, li] = x.astype(xs_ref.dtype)
+    qkvs_ref[0, li] = qkv.astype(qkvs_ref.dtype)
+    ctxs_ref[0, li] = ctx.astype(ctxs_ref.dtype)
+    if a1s_ref is not None:
+        a1s_ref[0, li] = a1.astype(a1s_ref.dtype)
+    ys_ref[0, li] = y.astype(ys_ref.dtype)
+
+
+def _fit_residuals(base, n, hdim, fdim, depth, mm_dtype):
+    """(save_a1, rbytes) for the largest residual tier whose 1.3x-margined
+    VMEM request fits the 128M cap; (False, None) when none fits (the
+    caller falls back to the recompute backward)."""
+    rb = 4 if mm_dtype == jnp.float32 else 2
+    for save_a1 in (True, False):
+        rbytes = train_residual_bytes(n, hdim, fdim, depth, rb, save_a1)
+        if 1.3 * (base + 2 * rbytes) <= 128 * 1024 * 1024:
+            return save_a1, rbytes
+    return False, None
+
+
+def _res_out_specs(out_specs, out_shape, b, n, hdim, fdim, depth, mm_dtype,
+                   save_a1):
+    """Append the residual out specs/shapes (xs, qkvs, ctxs, ys[, a1s]) to
+    the primary output's."""
+    blk = lambda *tail: pl.BlockSpec((1,) + tail, lambda i: (i,) + (0,) * len(tail))
+    out_specs = out_specs + [
+        blk(depth + 1, n, hdim), blk(depth, n, 3 * hdim),
+        blk(depth, n, hdim), blk(depth, n, hdim),
+    ]
+    out_shape = out_shape + [
+        jax.ShapeDtypeStruct((b, depth + 1, n, hdim), jnp.float32),
+        jax.ShapeDtypeStruct((b, depth, n, 3 * hdim), mm_dtype),
+        jax.ShapeDtypeStruct((b, depth, n, hdim), mm_dtype),
+        jax.ShapeDtypeStruct((b, depth, n, hdim), mm_dtype),
+    ]
+    if save_a1:
+        out_specs.append(blk(depth, n, fdim))
+        out_shape.append(jax.ShapeDtypeStruct((b, depth, n, fdim), mm_dtype))
+    return out_specs, out_shape
+
+
+def _pack_saved(outs, save_a1):
+    """(xs, qkvs, ctxs, a1s | None, ys) from the train kernel's outputs."""
+    _, xs, qkvs, ctxs, ys = outs[:5]
+    return (xs, qkvs, ctxs, outs[5] if save_a1 else None, ys)
+
+
+def _stack_train_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
+                               bout_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                               mask_ref, *out_refs, depth, num_heads,
+                               head_dim, scale, mm_dtype):
+    """Stack kernel that additionally emits the backward residual set.
+    ``out_refs`` = (o, xs, qkvs, ctxs, ys[, a1s]) — a1s only when saved."""
+    o_ref, xs_ref, qkvs_ref, ctxs_ref, ys_ref = out_refs[:5]
+    a1s_ref = out_refs[5] if len(out_refs) > 5 else None
+    x = x_ref[0].astype(jnp.float32)
+    mask = mask_ref[0] if mask_ref is not None else None
+    for li in range(depth):
+        xin = x
+        x, r = _block_body(
+            x, mod_ref[0, li].astype(jnp.float32),
+            wqkv_ref[li], bqkv_ref[li], wout_ref[li], bout_ref[li],
+            w1_ref[li], b1_ref[li], w2_ref[li], b2_ref[li], mask,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            mm_dtype=mm_dtype, want_res=True,
+        )
+        _store_block_res(li, xin, r, xs_ref, qkvs_ref, ctxs_ref, a1s_ref,
+                         ys_ref)
+    xs_ref[0, depth] = x.astype(xs_ref.dtype)
+    o_ref[0] = x.astype(o_ref.dtype)
+
+
+def _stack_train_kernel(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref,
+                        bout_ref, w1_ref, b1_ref, w2_ref, b2_ref, *out_refs,
+                        **kw):
+    _stack_train_kernel_masked(
+        x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref, None, *out_refs, **kw
+    )
+
+
+def _vit_train_kernel_masked(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref,
+                             bemb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                             w1_ref, b1_ref, w2_ref, b2_ref, wfin_ref,
+                             bfin_ref, mask_ref, *out_refs, depth, num_heads,
+                             head_dim, scale, mm_dtype):
+    """Whole-ViT kernel that additionally emits the backward residual set
+    (block inputs incl. the embed output at [0] and the last block output
+    at [depth] — the final layer's backward needs it). ``out_refs`` =
+    (o, xs, qkvs, ctxs, ys[, a1s]) — a1s only when saved."""
+    o_ref, xs_ref, qkvs_ref, ctxs_ref, ys_ref = out_refs[:5]
+    a1s_ref = out_refs[5] if len(out_refs) > 5 else None
+
+    def mm(a, w):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), w.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    tok = tok_ref[0].astype(jnp.float32)
+    x = mm(tok, wemb_ref[...]) + bemb_ref[...][None, :].astype(jnp.float32)
+    x = x + pos_ref[...].astype(jnp.float32)
+    mask = mask_ref[0] if mask_ref is not None else None
+    for li in range(depth):
+        xin = x
+        x, r = _block_body(
+            x, mods_ref[0, li].astype(jnp.float32),
+            wqkv_ref[li], bqkv_ref[li], wout_ref[li], bout_ref[li],
+            w1_ref[li], b1_ref[li], w2_ref[li], b2_ref[li], mask,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            mm_dtype=mm_dtype, want_res=True,
+        )
+        _store_block_res(li, xin, r, xs_ref, qkvs_ref, ctxs_ref, a1s_ref,
+                         ys_ref)
+    xs_ref[0, depth] = x.astype(xs_ref.dtype)
+    fm = fmod_ref[0].astype(jnp.float32)  # (2, H)
+    u = _ln(x) * (1.0 + fm[1:2]) + fm[0:1]
+    out = mm(u, wfin_ref[...]) + bfin_ref[...][None, :].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _vit_train_kernel(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref,
+                      bemb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                      w1_ref, b1_ref, w2_ref, b2_ref, wfin_ref, bfin_ref,
+                      *out_refs, **kw):
+    _vit_train_kernel_masked(
+        tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref, bemb_ref,
+        wqkv_ref, bqkv_ref, wout_ref, bout_ref, w1_ref, b1_ref, w2_ref,
+        b2_ref, wfin_ref, bfin_ref, None, *out_refs, **kw
+    )
+
+
+def _bwd_res_kernel(*refs, num_heads, head_dim, scale, mm_dtype, have_a1,
+                    have_mask):
+    """Residual-consuming backward megakernel: loads the train-mode
+    forward's saved intermediates and backpropagates the block with no
+    big-matmul recompute (only LN stats, softmax-from-saved-qkv, gelu and
+    the (H, H) out-projection are re-derived in VMEM; without ``have_a1``
+    the pre-gelu hidden is additionally recomputed with one h2 @ w1
+    matmul). Weight/bias grads accumulate across the sequential grid
+    (zero-initialized at cell 0).
+
+    ``refs`` = (x, qkv, ctx, [a1,] y, mod, wqkv, wout, bout, w1, b1, w2,
+    g, [mask,] dx, dmod, dwqkv, dbqkv, dwout, dbout, dw1, db1, dw2, db2)."""
+    it = iter(refs)
+    x_ref, qkvs_ref, ctxs_ref = next(it), next(it), next(it)
+    a1s_ref = next(it) if have_a1 else None
+    ys_ref, mod_ref = next(it), next(it)
+    wqkv_ref, wout_ref, bout_ref = next(it), next(it), next(it)
+    w1_ref, b1_ref, w2_ref, g_ref = next(it), next(it), next(it), next(it)
+    mask_ref = next(it) if have_mask else None
+    (dx_ref, dmod_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+     dw1_ref, db1_ref, dw2_ref, db2_ref) = (next(it) for _ in range(10))
+
+    def mm(a, w, dims=((1,), (0,))):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), w.astype(mm_dtype), (dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref, dw1_ref,
+                    db1_ref, dw2_ref, db2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x = x_ref[0].astype(jnp.float32)      # (N, H) block input
+    qkv = qkvs_ref[0].astype(jnp.float32)  # (N, 3H) saved
+    ctx = ctxs_ref[0].astype(jnp.float32)  # (N, H)  saved merged context
+    y = ys_ref[0].astype(jnp.float32)      # (N, H)  saved MLP output
+    mod = mod_ref[0].astype(jnp.float32)   # (6, H)
+    g = g_ref[0].astype(jnp.float32)       # (N, H)
+    h_tot, d = num_heads, head_dim
+
+    def ln_fwd(z):
+        mu = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.mean((z - mu) ** 2, axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var + _LN_EPS)
+        return (z - mu) * inv, inv
+
+    def ln_bwd(du, u, inv):
+        return inv * (
+            du - jnp.mean(du, axis=-1, keepdims=True)
+            - u * jnp.mean(du * u, axis=-1, keepdims=True)
+        )
+
+    # ---- cheap re-derivations (no saved-matmul recompute) -----------------
+    u, inv1 = ln_fwd(x)
+    h = u * (1.0 + mod[1:2]) + mod[0:1]
+    attn = mm(ctx, wout_ref[...]) + bout_ref[...][None, :]
+    x1 = x + mod[2:3] * attn
+    u2, inv2 = ln_fwd(x1)
+    h2 = u2 * (1.0 + mod[4:5]) + mod[3:4]
+    if a1s_ref is not None:
+        a1 = a1s_ref[0].astype(jnp.float32)  # (N, F) saved pre-gelu hidden
+    else:
+        a1 = mm(h2, w1_ref[...]) + b1_ref[...][None, :]
+    hid = jax.nn.gelu(a1, approximate=True)
+
+    # ---- backward ---------------------------------------------------------
+    dy = g * mod[5:6]
+    dmod5 = jnp.sum(g * y, axis=0)
+    dhid = mm(dy, w2_ref[...], ((1,), (1,)))
+    dw2_ref[...] += mm(hid, dy, ((0,), (0,)))
+    db2_ref[...] += jnp.sum(dy, axis=0)
+    _, gelu_vjp = jax.vjp(lambda z: jax.nn.gelu(z, approximate=True), a1)
+    da1 = gelu_vjp(dhid)[0]
+    dh2 = mm(da1, w1_ref[...], ((1,), (1,)))
+    dw1_ref[...] += mm(h2, da1, ((0,), (0,)))
+    db1_ref[...] += jnp.sum(da1, axis=0)
+    dmod4 = jnp.sum(dh2 * u2, axis=0)
+    dmod3 = jnp.sum(dh2, axis=0)
+    du2 = dh2 * (1.0 + mod[4:5])
+    dx1 = g + ln_bwd(du2, u2, inv2)
+    dattn = dx1 * mod[2:3]
+    dmod2 = jnp.sum(dx1 * attn, axis=0)
+    dctx = mm(dattn, wout_ref[...], ((1,), (1,)))
+    dwout_ref[...] += mm(ctx, dattn, ((0,), (0,)))
+    dbout_ref[...] += jnp.sum(dattn, axis=0)
+    # attention: p re-derived per head from the saved qkv panel
+    dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
+    for hi in range(h_tot):
+        q = qkv[:, hi * d:(hi + 1) * d]
+        k = qkv[:, (h_tot + hi) * d:(h_tot + hi + 1) * d]
+        v = qkv[:, (2 * h_tot + hi) * d:(2 * h_tot + hi + 1) * d]
+        s = mm(q, k, ((1,), (1,))) * scale
+        if mask_ref is not None:
+            s = jnp.where(mask_ref[0], s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / jnp.where(l == 0.0, 1.0, l)
+        gh = dctx[:, hi * d:(hi + 1) * d]
+        dv = mm(p, gh, ((0,), (0,)))
+        dp = mm(gh, v, ((1,), (1,)))
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))) * scale
+        dqkv_parts_q.append(mm(ds, k, ((1,), (0,))))
+        dqkv_parts_k.append(mm(ds, q, ((0,), (0,))))
+        dqkv_parts_v.append(dv)
+    dqkv = jnp.concatenate(dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1)
+    dh = mm(dqkv, wqkv_ref[...], ((1,), (1,)))
+    dwqkv_ref[...] += mm(h, dqkv, ((0,), (0,)))
+    dbqkv_ref[...] += jnp.sum(dqkv, axis=0)
+    dmod1 = jnp.sum(dh * u, axis=0)
+    dmod0 = jnp.sum(dh, axis=0)
+    du = dh * (1.0 + mod[1:2])
+    dx = dx1 + ln_bwd(du, u, inv1)
+
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dmod_ref[0] = jnp.stack(
+        [dmod0, dmod1, dmod2, dmod3, dmod4, dmod5], axis=0
+    ).astype(dmod_ref.dtype)
+
+
+def fused_dit_block_bwd_res(xin, qkv, ctx, a1, y, mod6, wqkv, wout, bout,
+                            w1, b1, w2, g, mask, num_heads, scale):
+    """Gradient of one DiT block from SAVED residuals, as one Pallas kernel.
+
+    ``a1`` may be None (dropped when VMEM was tight) — the kernel then
+    recomputes it with one h2 @ w1 matmul. Returns (dx, dmod6, dwqkv,
+    dbqkv, dwout, dbout, dw1, db1, dw2, db2) — the same tuple as
+    :func:`fused_dit_block_bwd` (see :func:`_bwd_res_kernel`)."""
+    b, n, hdim = xin.shape
+    d = hdim // num_heads
+    fdim = w1.shape[1]
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    row = lambda *tail: pl.BlockSpec((1,) + tail, lambda i: (i,) + (0,) * len(tail))
+    in_specs = [row(n, hdim), row(n, 3 * hdim), row(n, hdim)]
+    args = [xin, qkv, ctx]
+    if a1 is not None:
+        in_specs.append(row(n, fdim))
+        args.append(a1)
+    in_specs += [
+        row(n, hdim), row(6, hdim),
+        const(hdim, 3 * hdim), const(hdim, hdim), const(hdim,),
+        const(hdim, fdim), const(fdim,), const(fdim, hdim),
+        row(n, hdim),
+    ]
+    args += [y, mod6, wqkv, wout, bout, w1, b1, w2, g]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
+        args.append(mask[None])
+
+    out_specs = [
+        row(n, hdim), row(6, hdim),
+        const(hdim, 3 * hdim), const(3 * hdim,),
+        const(hdim, hdim), const(hdim,),
+        const(hdim, fdim), const(fdim,),
+        const(fdim, hdim), const(hdim,),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, hdim), jnp.float32),
+        jax.ShapeDtypeStruct((b, 6, hdim), mod6.dtype),
+        jax.ShapeDtypeStruct(wqkv.shape, jnp.float32),
+        jax.ShapeDtypeStruct((3 * hdim,), jnp.float32),
+        jax.ShapeDtypeStruct(wout.shape, jnp.float32),
+        jax.ShapeDtypeStruct((hdim,), jnp.float32),
+        jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+        jax.ShapeDtypeStruct((fdim,), jnp.float32),
+        jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+        jax.ShapeDtypeStruct((hdim,), jnp.float32),
+    ]
+    kernel = functools.partial(
+        _bwd_res_kernel,
+        num_heads=num_heads,
+        head_dim=d,
+        scale=d**-0.5 if scale is None else scale,
+        mm_dtype=jnp.float32 if _interpret() else jnp.bfloat16,
+        have_a1=a1 is not None,
+        have_mask=mask is not None,
+    )
+    wbytes = 4 * (hdim * 3 * hdim + hdim * hdim + 2 * hdim * fdim)
+    panels = 4 * n * (6 * hdim + 2 * 3 * hdim + 3 * fdim) * 2
+    scores = 4 * n * n * 4  # live s/e/p/dp blocks, one head at a time
+    vmem = min(128 * 1024 * 1024,
+               max(64 * 1024 * 1024, 3 * wbytes + panels + scores))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            # weight-grad accumulation requires strictly sequential cells
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return tuple(outs)
+
+
+def _blocks_bwd(dx, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
+                num_heads, scale, xs_list=None, saved=None):
+    """Shared reversed per-block backward over a block stack. Exactly one
+    of ``saved`` (train-kernel residual tuple -> residual-consuming
+    kernels) or ``xs_list`` (recomputed block inputs -> recompute kernels)
+    must be given. Returns (dx0, dmods (B, L, 6, H), [8 stacked w-grads])."""
     depth = wqkv.shape[0]
-
-    def block_ws(li):
-        return (wqkv[li], bqkv[li], wout[li], bout[li], w1[li], b1[li],
-                w2[li], b2[li])
-
-    xs = [x]
-    for li in range(depth - 1):
-        xs.append(fused_dit_block(xs[-1], mods[:, li], *block_ws(li), mask,
-                                  num_heads, scale))
-
-    dx = g
     dmods = [None] * depth
     dws = [[None] * depth for _ in range(8)]
     for li in reversed(range(depth)):
-        grads = fused_dit_block_bwd(
-            xs[li], mods[:, li], *block_ws(li), dx, mask, num_heads, scale
-        )
+        if saved is not None:
+            xs, qkvs, ctxs, a1s, ys = saved
+            grads = fused_dit_block_bwd_res(
+                xs[:, li], qkvs[:, li], ctxs[:, li],
+                a1s[:, li] if a1s is not None else None, ys[:, li],
+                mods[:, li], wqkv[li], wout[li], bout[li], w1[li], b1[li],
+                w2[li], dx, mask, num_heads, scale,
+            )
+        else:
+            grads = fused_dit_block_bwd(
+                xs_list[li], mods[:, li], wqkv[li], bqkv[li], wout[li],
+                bout[li], w1[li], b1[li], w2[li], b2[li], dx, mask,
+                num_heads, scale,
+            )
         dx, dmods[li] = grads[0], grads[1]
         for wi in range(8):
             dws[wi][li] = grads[2 + wi]
-    return (dx, jnp.stack(dmods, axis=1),
-            *[jnp.stack(dw) for dw in dws], None)
+    return dx, jnp.stack(dmods, axis=1), [jnp.stack(dw) for dw in dws]
 
 
-fused_dit_stack.defvjp(_stack_fwd, _stack_bwd)
+def _stack_fwd_train(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
+                     num_heads, scale, group=1):
+    """vjp-fwd of the block stack: run the TRAIN kernel (residual-saving,
+    always ungrouped — the grouped grid only matters for tiny-subnet
+    sampling) when the residual windows fit VMEM; fall back to the
+    residual-free forward + recompute backward otherwise."""
+    b, n, hdim = x.shape
+    depth = wqkv.shape[0]
+    d = hdim // num_heads
+    fdim = w1.shape[-1]
+    mm_dtype = jnp.float32 if _interpret() else jnp.bfloat16
+    res = (x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask)
+    base = stack_vmem_estimate(n, hdim, fdim, depth, num_heads, 1)
+    save_a1, rbytes = _fit_residuals(base, n, hdim, fdim, depth, mm_dtype)
+    if (mask is not None and mask.ndim != 2) or rbytes is None:
+        out, _ = _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
+                            mask, num_heads, scale, group)
+        return out, (res, None)
+
+    head_scale = d**-0.5 if scale is None else scale
+    vmem = min(128 * 1024 * 1024,
+               max(64 * 1024 * 1024, int(1.3 * (base + 2 * rbytes))))
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    row = lambda *tail: pl.BlockSpec((1,) + tail, lambda i: (i,) + (0,) * len(tail))
+    wargs = [wqkv.astype(mm_dtype), bqkv, wout.astype(mm_dtype), bout,
+             w1.astype(mm_dtype), b1, w2.astype(mm_dtype), b2]
+    wspecs = [const(depth, hdim, 3 * hdim), const(depth, 3 * hdim),
+              const(depth, hdim, hdim), const(depth, hdim),
+              const(depth, hdim, fdim), const(depth, fdim),
+              const(depth, fdim, hdim), const(depth, hdim)]
+    in_specs = [row(n, hdim), pl.BlockSpec((1, depth, 6, hdim),
+                                           lambda i: (i, 0, 0, 0)), *wspecs]
+    args = [x, mods, *wargs]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
+        args.append(mask[None])
+    out_specs, out_shape = _res_out_specs(
+        [row(n, hdim)], [jax.ShapeDtypeStruct((b, n, hdim), x.dtype)],
+        b, n, hdim, fdim, depth, mm_dtype, save_a1)
+    kernel = functools.partial(
+        _stack_train_kernel_masked if mask is not None else
+        _stack_train_kernel,
+        depth=depth, num_heads=num_heads, head_dim=d, scale=head_scale,
+        mm_dtype=mm_dtype,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return outs[0], (res, _pack_saved(outs, save_a1))
+
+
+def _stack_bwd(num_heads, scale, group, res, g):
+    """All-Pallas stack backward. With train-kernel residuals (the common
+    case) every block runs the residual-consuming kernel — zero forward
+    recompute. The fallback recomputes each block's input with the
+    per-block forward megakernel (L-1 extra forwards) and runs the
+    recompute backward kernel. ``group`` only shapes the forward's grid;
+    the backward is group-independent."""
+    res, saved = res
+    x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask = res
+    depth = wqkv.shape[0]
+
+    xs_list = None
+    if saved is None:
+        def block_ws(li):
+            return (wqkv[li], bqkv[li], wout[li], bout[li], w1[li], b1[li],
+                    w2[li], b2[li])
+
+        xs_list = [x]
+        for li in range(depth - 1):
+            xs_list.append(fused_dit_block(xs_list[-1], mods[:, li],
+                                           *block_ws(li), mask, num_heads,
+                                           scale))
+
+    dx, dmods, dws = _blocks_bwd(
+        g, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, num_heads,
+        scale, xs_list=xs_list, saved=saved,
+    )
+    return (dx, dmods, *dws, None)
+
+
+fused_dit_stack.defvjp(_stack_fwd_train, _stack_bwd)
 
 
 def _bwd_kernel_masked(x_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
@@ -902,53 +1360,130 @@ def vit_forward_reference(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv,
     return u @ wfin + bfin
 
 
+def _vit_fwd_train(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
+                   bout, w1, b1, w2, b2, wfin, bfin, mask, num_heads, scale,
+                   group=1):
+    """vjp-fwd of the whole-ViT kernel: run the TRAIN kernel
+    (residual-saving, always ungrouped) when the residual windows fit
+    VMEM; fall back to the residual-free forward + recompute backward
+    otherwise. The sampling primal (``fused_vit_forward`` called without
+    differentiation) never takes this path."""
+    b, n, pdim = tokens.shape
+    hdim = wemb.shape[1]
+    depth = wqkv.shape[0]
+    d = hdim // num_heads
+    fdim = w1.shape[-1]
+    out_dim = wfin.shape[1]
+    mm_dtype = jnp.float32 if _interpret() else jnp.bfloat16
+    res = (tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
+           bout, w1, b1, w2, b2, wfin, bfin, mask)
+    base = (stack_vmem_estimate(n, hdim, fdim, depth, num_heads, 1)
+            + 2 * (pdim * hdim + hdim * out_dim)
+            + 4 * n * (hdim + pdim + out_dim))
+    save_a1, rbytes = _fit_residuals(base, n, hdim, fdim, depth, mm_dtype)
+    if (mask is not None and mask.ndim != 2) or rbytes is None:
+        out, _ = _vit_fwd(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv,
+                          wout, bout, w1, b1, w2, b2, wfin, bfin, mask,
+                          num_heads, scale, group)
+        return out, (res, None)
+
+    head_scale = d**-0.5 if scale is None else scale
+    vmem = min(128 * 1024 * 1024,
+               max(64 * 1024 * 1024, int(1.3 * (base + 2 * rbytes))))
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    row = lambda *tail: pl.BlockSpec((1,) + tail, lambda i: (i,) + (0,) * len(tail))
+    wargs = [wemb.astype(mm_dtype), bemb,
+             wqkv.astype(mm_dtype), bqkv, wout.astype(mm_dtype), bout,
+             w1.astype(mm_dtype), b1, w2.astype(mm_dtype), b2,
+             wfin.astype(mm_dtype), bfin]
+    wspecs = [const(pdim, hdim), const(hdim,),
+              const(depth, hdim, 3 * hdim), const(depth, 3 * hdim),
+              const(depth, hdim, hdim), const(depth, hdim),
+              const(depth, hdim, fdim), const(depth, fdim),
+              const(depth, fdim, hdim), const(depth, hdim),
+              const(hdim, out_dim), const(out_dim,)]
+    in_specs = [row(n, pdim), const(n, hdim),
+                pl.BlockSpec((1, depth, 6, hdim), lambda i: (i, 0, 0, 0)),
+                row(2, hdim), *wspecs]
+    args = [tokens, pos, mods, fmod, *wargs]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, n, n), lambda i: (0, 0, 0)))
+        args.append(mask[None])
+    out_specs, out_shape = _res_out_specs(
+        [row(n, out_dim)],
+        [jax.ShapeDtypeStruct((b, n, out_dim), tokens.dtype)],
+        b, n, hdim, fdim, depth, mm_dtype, save_a1)
+    kernel = functools.partial(
+        _vit_train_kernel_masked if mask is not None else _vit_train_kernel,
+        depth=depth, num_heads=num_heads, head_dim=d, scale=head_scale,
+        mm_dtype=mm_dtype,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return outs[0], (res, _pack_saved(outs, save_a1))
+
+
 def _vit_bwd(num_heads, scale, group, res, g):
     """Kernel-path backward: jnp VJPs for the (tiny) embedder and final
-    layer, per-block forward megakernels to recompute the block inputs,
-    and the backward megakernel per block in reverse — the block math
-    (the FLOPs) never touches the composed path. ``group`` only shapes
-    the forward's grid; the residuals are the raw inputs, so the backward
-    is group-independent."""
+    layer, and per-block backward megakernels in reverse — the block math
+    (the FLOPs) never touches the composed path. With train-kernel
+    residuals (the common case) the blocks run the residual-consuming
+    kernel with zero forward recompute; the fallback recomputes block
+    inputs with per-block forward megakernels first. ``group`` only
+    shapes the forward's grid; the backward is group-independent."""
+    res, saved = res
     (tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout, bout, w1, b1,
      w2, b2, wfin, bfin, mask) = res
     depth = wqkv.shape[0]
 
-    def block_ws(li):
-        return (wqkv[li], bqkv[li], wout[li], bout[li], w1[li], b1[li],
-                w2[li], b2[li])
-
     def embed(tokens, wemb, bemb, pos):
         return tokens.astype(jnp.float32) @ wemb + bemb + pos
 
-    x0, embed_vjp = jax.vjp(embed, tokens, wemb, bemb, pos)
-    xs = [x0]
-    for li in range(depth):
-        xs.append(fused_dit_block(xs[-1], mods[:, li], *block_ws(li), mask,
-                                  num_heads, scale))
+    xs_list = None
+    if saved is None:
+        def block_ws(li):
+            return (wqkv[li], bqkv[li], wout[li], bout[li], w1[li], b1[li],
+                    w2[li], b2[li])
+
+        x0, embed_vjp = jax.vjp(embed, tokens, wemb, bemb, pos)
+        xs_list = [x0]
+        for li in range(depth):
+            xs_list.append(fused_dit_block(xs_list[-1], mods[:, li],
+                                           *block_ws(li), mask, num_heads,
+                                           scale))
+        x_last = xs_list[depth]
+    else:
+        _, embed_vjp = jax.vjp(embed, tokens, wemb, bemb, pos)
+        x_last = saved[0][:, depth].astype(jnp.float32)
 
     def final(xl, fmod, wfin, bfin):
         fm = fmod.astype(jnp.float32)
         u = _ln(xl) * (1.0 + fm[:, 1:2]) + fm[:, 0:1]
         return u @ wfin + bfin
 
-    _, final_vjp = jax.vjp(final, xs[depth], fmod, wfin, bfin)
+    _, final_vjp = jax.vjp(final, x_last, fmod, wfin, bfin)
     dx, dfmod, dwfin, dbfin = final_vjp(g)
 
-    dmods = [None] * depth
-    dws = [[None] * depth for _ in range(8)]
-    for li in reversed(range(depth)):
-        grads = fused_dit_block_bwd(
-            xs[li], mods[:, li], *block_ws(li), dx, mask, num_heads, scale
-        )
-        dx, dmods[li] = grads[0], grads[1]
-        for wi in range(8):
-            dws[wi][li] = grads[2 + wi]
+    dx, dmods, dws = _blocks_bwd(
+        dx, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, num_heads,
+        scale, xs_list=xs_list, saved=saved,
+    )
     dtokens, dwemb, dbemb, dpos = embed_vjp(dx)
-    return (dtokens, dpos, jnp.stack(dmods, axis=1), dfmod, dwemb, dbemb,
-            *[jnp.stack(dw) for dw in dws], dwfin, dbfin, None)
+    return (dtokens, dpos, dmods, dfmod, dwemb, dbemb,
+            *dws, dwfin, dbfin, None)
 
 
-fused_vit_forward.defvjp(_vit_fwd, _vit_bwd)
+fused_vit_forward.defvjp(_vit_fwd_train, _vit_bwd)
 
 
 def dit_block_reference(x, mod6, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
