@@ -62,11 +62,19 @@ def main(batch=256):
     t0 = time.perf_counter()
     for i in range(3):
         float(smp(params, cond, jax.random.fold_in(key, i)))
-    rate = batch * 3 / (time.perf_counter() - t0)
+    t_batch_raw = (time.perf_counter() - t0) / 3
+    rate = batch / t_batch_raw
+    # the micros subtract the ~25 ms/dispatch tunnel floor; subtract it from
+    # the e2e batch time too or it masquerades as per-pair flow glue
+    # (1 dispatch / 20 pairs ~ 1.1 ms/pair at the measured floor)
+    t_batch = max(1e-9, t_batch_raw - rs._DISPATCH_FLOOR[0])
     nb = len(model.net.blocks) // 2
-    t_pair = batch / rate / nb
-    print(f"e2e: {rate:.1f} showers/s = {t_pair * 1e3:.3f} ms per "
-          f"coupling+permute pair (batch {batch}, {nb} pairs)")
+    t_pair = t_batch / nb
+    print(f"e2e: {rate:.1f} showers/s raw "
+          f"({batch / t_batch:.1f} compute-only after subtracting the "
+          f"{rs._DISPATCH_FLOOR[0] * 1e3:.1f} ms dispatch floor) = "
+          f"{t_pair * 1e3:.3f} ms per coupling+permute pair "
+          f"(batch {batch}, {nb} pairs)")
 
     # ---- stage micros ------------------------------------------------------
     cb = next(b for b in model.net.blocks if hasattr(b, "subnet_ctor"))
