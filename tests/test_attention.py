@@ -850,3 +850,72 @@ def test_residual_saving_backward_matches_recompute(use_mask):
     for a, r in zip(gs_k, gs_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=2e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_flash_qkv_attention_matches_xla(use_mask):
+    """The fused-layout flash tier (panel-native online softmax) equals XLA
+    attention and the fused-layout one-shot kernel, forward and grads, at a
+    length that spans multiple key blocks (N=150, blocks 128 -> pad 256)."""
+    from vit4hep_tpu.ops.flash_qkv_attention import flash_qkv_attention
+    from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
+
+    rng = np.random.default_rng(11)
+    b, h, d, n = 2, 2, 8, 150
+    hd = h * d
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * hd)), jnp.float32)
+    mask = None
+    if use_mask:
+        m = rng.random((n, n)) > 0.2
+        np.fill_diagonal(m, True)  # no fully-masked rows
+        mask = jnp.asarray(m)
+
+    out = flash_qkv_attention(qkv, h, mask, None, 128, 128)
+
+    qkv5 = qkv.reshape(b, n, 3, h, d)
+    q, k, v = (jnp.transpose(qkv5[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    ref = xla_attention(q, k, v, mask)
+    ref = jnp.transpose(ref, (0, 2, 1, 3)).reshape(b, n, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(fused_qkv_attention(qkv, h, mask, None)),
+        atol=2e-5, rtol=1e-5)
+
+    def loss_flash(x):
+        return jnp.sum(flash_qkv_attention(x, h, mask, None, 128, 128) ** 2)
+
+    def loss_ref(x):
+        x5 = x.reshape(b, n, 3, h, d)
+        q, k, v = (jnp.transpose(x5[:, :, i], (0, 2, 1, 3)) for i in range(3))
+        o = xla_attention(q, k, v, mask)
+        return jnp.sum(jnp.transpose(o, (0, 2, 1, 3)).reshape(b, n, hd) ** 2)
+
+    gf = jax.grad(loss_flash)(qkv)
+    gr = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               atol=5e-4, rtol=1e-4)
+
+
+def test_qkv_attention_auto_routes_flash_beyond_vmem():
+    """`auto` hands sequences past the fused-layout VMEM bound to the
+    panel-native flash tier (not the separated-layout fallback)."""
+    import vit4hep_tpu.ops.flash_qkv_attention as fq
+    from vit4hep_tpu.ops.attention import qkv_attention
+
+    called = {}
+    orig = fq.flash_qkv_attention
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    fq.flash_qkv_attention = spy
+    try:
+        b, h, d, n = 1, 2, 8, 2176  # > 2048 => beyond the fused bound
+        qkv = jnp.zeros((b, n, 3 * h * d), jnp.float32)
+        out = qkv_attention(qkv, h)
+        assert out.shape == (b, n, h * d)
+    finally:
+        fq.flash_qkv_attention = orig
+    assert called.get("yes"), "auto did not route to flash_qkv_attention"

@@ -110,8 +110,13 @@ def qkv_attention(qkv, num_heads, mask=None, impl="auto", scale=None):
     Attention-module context, tools/attn_bench.py): XLA below 128 tokens
     (fused 1.49 vs 0.55 ms at N=88), the fused-layout kernel from 128 up to
     2048 while its VMEM working set fits (1.22 vs 1.84 ms at ds2 N=135;
-    5.03 vs 9.54 at ds3 N=450; 1.17 vs 3.54 at N=2048), and the flash
-    kernel beyond (the (N, 3HD) panel + scores outgrow VMEM)."""
+    5.03 vs 9.54 at ds3 N=450), and the panel-native flash kernel beyond
+    (ops/flash_qkv_attention.py; round-4 crossover table,
+    tools/flash_threshold.py at hidden 480: fused/flash 1.32/1.35 ms at
+    N=2048 — a dead heat at the boundary — then flash alone 1.35 at 3072,
+    2.3 at 4096, 4.5 at 8192, 7.7 ms at 16384, vs 2.6-4.3 ms for the
+    retired separated-layout flash and 3.6-14.2 ms for XLA where they
+    still fit)."""
     n = qkv.shape[-2]
     # VMEM working-set bound of the fused-layout kernel: the (N, 3HD) panel
     # + per-head (N, N) scores must fit the 128M scoped-VMEM budget, and
@@ -159,6 +164,14 @@ def qkv_attention(qkv, num_heads, mask=None, impl="auto", scale=None):
         from vit4hep_tpu.ops.fused_qkv_attention import fused_qkv_attention
 
         return fused_qkv_attention(qkv, num_heads, mask, scale)
+    if impl == "flash" and (mask is None or mask.ndim == 2):
+        # beyond-VMEM tier in the SAME native layout: no transposes at the
+        # kernel boundary, bf16-resident panel, per-head online softmax
+        # (ops/flash_qkv_attention.py — round-4 replacement of the
+        # separated-layout flash fallback for panel-layout callers)
+        from vit4hep_tpu.ops.flash_qkv_attention import flash_qkv_attention
+
+        return flash_qkv_attention(qkv, num_heads, mask, scale)
     # separated-tensor fallbacks: split + transpose around dot_product_attention
     b, _, three_hd = qkv.shape
     d = three_hd // 3 // num_heads
