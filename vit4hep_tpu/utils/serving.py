@@ -85,6 +85,63 @@ def export_sampler(model, params, batch: int, *, cond_dim: int | None = None,
     return buf.getvalue()
 
 
+def export_generator(shape_model, shape_params, energy_model, energy_params,
+                     energy_transforms, shape_transforms, batch: int, *,
+                     cond_dim: int | None = None, platforms=None,
+                     meta: dict | None = None) -> bytes:
+    """Serialize the FULL two-stage generation chain — energy-model RK4,
+    on-device u mapping, shape-model RK4 (experiments/fused_chain.py) — as
+    one AOT artifact: ``generate(E_cond: f32[batch, cond_dim], seed) ->
+    showers``. The user-facing product (reference experiments/calochallenge/
+    experiment.py:170-247) as a single self-contained program, both
+    parameter sets and the transform constants baked in."""
+    from vit4hep_tpu.experiments.fused_chain import make_fused_generate
+
+    gen = make_fused_generate(shape_model, energy_model, energy_transforms,
+                              shape_transforms)
+    if cond_dim is None:
+        cond_dim = int(energy_model.condition_dim)
+
+    def generate(cond, seed):
+        shower, _ = gen(shape_params, energy_params, cond,
+                        jax.random.PRNGKey(seed))
+        return shower
+
+    args = (
+        jax.ShapeDtypeStruct((batch, cond_dim), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jax.export.export(jax.jit(generate), **kwargs)(*args)
+
+    header = {
+        "version": 1,
+        "kind": "generator",
+        "batch": int(batch),
+        "cond_dim": int(cond_dim),
+        "out_shape": [int(s) for s in exported.out_avals[0].shape],
+        "platforms": list(exported.platforms),
+        "model": f"{type(energy_model).__name__}+{type(shape_model).__name__}",
+        "meta": meta or {},
+    }
+    hdr = json.dumps(header).encode()
+    buf = io.BytesIO()
+    buf.write(_MAGIC)
+    buf.write(struct.pack("<I", len(hdr)))
+    buf.write(hdr)
+    buf.write(exported.serialize())
+    return buf.getvalue()
+
+
+def save_generator(path, *args, **kwargs) -> dict:
+    blob = export_generator(*args, **kwargs)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return read_header(path)
+
+
 def save_sampler(path, model, params, batch: int, **kwargs) -> dict:
     blob = export_sampler(model, params, batch, **kwargs)
     with open(path, "wb") as f:
