@@ -97,6 +97,19 @@ def test_fused_generation_matches_staged(tmp_path, geo):
                       jnp.asarray(cond[:8]), jax.random.PRNGKey(7))
     np.testing.assert_allclose(out, np.asarray(direct), rtol=1e-5, atol=1e-5)
 
+    # the --generator CLI export over the real run dirs reproduces it too
+    from tools.export_sampler import main as export_main
+
+    cli_path = tmp_path / "cli_generator.v4h"
+    export_main(["-cp", str(tmp_path / "runs" / "E2E_shape" / "shape"),
+                 "-cn", "config", "--generator", "--batch", "8",
+                 "--out", str(cli_path)])
+    g_cli = load_sampler(cli_path)
+    assert g_cli.header["kind"] == "generator"
+    out_cli = g_cli(np.asarray(cond[:8], np.float32), seed=7)
+    np.testing.assert_allclose(out_cli, np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
 
 def test_unsupported_transform_falls_back(tmp_path, geo):
     """A u-transform without a device twin must raise UnsupportedTransform

@@ -39,8 +39,15 @@ def main(argv=None):
     ap.add_argument("--no-ema", action="store_true",
                     help="export raw params even when the run used EMA")
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--generator", action="store_true",
+                    help="export the FULL two-stage chain (energy model -> "
+                         "u mapping -> this shape model) as one "
+                         "generate(E_inc)->shower artifact; requires the "
+                         "run's config to carry sample_us + energy_model "
+                         "(experiments/fused_chain.py)")
     ap.add_argument("--out", default=None,
-                    help="output path (default <run_dir>/sampler.v4h)")
+                    help="output path (default <run_dir>/sampler.v4h, or "
+                         "generator.v4h with --generator)")
     ap.add_argument("overrides", nargs="*", help="hydra-style config overrides")
     arg = ap.parse_args(argv)
 
@@ -79,11 +86,43 @@ def main(argv=None):
     params = jax.tree.map(lambda t, r: jax.numpy.asarray(r, t.dtype),
                           template, restored)
 
+    meta = {"run_dir": run_dir, "checkpoint": f"model_run{idx}",
+            "ema": use_ema, "exp_name": cfg.get("exp_name")}
+    if arg.generator:
+        if not cfg.get("sample_us") or not cfg.get("energy_model"):
+            raise SystemExit(
+                "--generator needs a shape-model run with sample_us: true "
+                "and energy_model: <run dir> in its config")
+        import vit4hep_tpu.data.calochallenge.transforms as tmod
+        from vit4hep_tpu.data.calochallenge.transforms import build_pipeline
+        from vit4hep_tpu.utils.config import OmegaConf
+        from vit4hep_tpu.utils.serving import save_generator
+        from vit4hep_tpu.utils.torch_migration import load_net_params
+
+        e_cfg = OmegaConf.load(
+            os.path.join(str(cfg.energy_model), "config.yaml"))
+        e_transforms = build_pipeline(e_cfg.data.transforms,
+                                      str(e_cfg.run_dir), tmod)
+        s_transforms = build_pipeline(cfg.data.transforms, run_dir, tmod)
+        e_model, e_params, _ = load_net_params(
+            e_cfg.model,
+            os.path.join(str(e_cfg.run_dir), "models", "model_run0"),
+            jax.random.PRNGKey(0))
+        out = arg.out or os.path.join(run_dir, "generator.v4h")
+        header = save_generator(
+            out, model, params, e_model, e_params, e_transforms,
+            s_transforms, arg.batch,
+            meta=dict(meta, energy_run=str(cfg.energy_model)),
+        )
+        print(f"wrote {out}: {header['model']} batch={header['batch']} "
+              f"cond_dim={header['cond_dim']} out={header['out_shape']} "
+              f"platforms={header['platforms']} ema={use_ema}")
+        return
+
     out = arg.out or os.path.join(run_dir, "sampler.v4h")
     header = save_sampler(
         out, model, params, arg.batch,
-        meta={"run_dir": run_dir, "checkpoint": f"model_run{idx}",
-              "ema": use_ema, "exp_name": cfg.get("exp_name")},
+        meta=meta,
     )
     print(f"wrote {out}: {header['model']} batch={header['batch']} "
           f"cond_dim={header['cond_dim']} out={header['out_shape']} "
