@@ -919,3 +919,67 @@ def test_qkv_attention_auto_routes_flash_beyond_vmem():
     finally:
         fq.flash_qkv_attention = orig
     assert called.get("yes"), "auto did not route to flash_qkv_attention"
+
+
+def test_qkv_attention_flash_falls_back_beyond_panel_bound():
+    """Past the panel-residency bound of flash_qkv_attention the dispatcher
+    must route to the streaming separated-layout kernel (which compiles at
+    any N) instead of producing a raw Mosaic VMEM compile error. Trace-only
+    via eval_shape — no 32k-token program actually runs."""
+    import vit4hep_tpu.ops.flash_attention as fa
+    import vit4hep_tpu.ops.flash_qkv_attention as fq
+    from vit4hep_tpu.ops.attention import qkv_attention
+    from vit4hep_tpu.ops.flash_qkv_attention import flash_qkv_fits
+
+    h, hd = 6, 480
+    n_big = 32768
+    assert not flash_qkv_fits(n_big, hd)
+    assert flash_qkv_fits(8192, hd)
+
+    called = {}
+    orig = fa.flash_attention
+
+    def spy(*a, **k):
+        called["streaming"] = True
+        return orig(*a, **k)
+
+    fa.flash_attention = spy
+    try:
+        out = jax.eval_shape(
+            lambda x: qkv_attention(x, h),
+            jax.ShapeDtypeStruct((1, n_big, 3 * hd), jnp.float32))
+    finally:
+        fa.flash_attention = orig
+    assert out.shape == (1, n_big, hd)
+    assert called.get("streaming"), \
+        "beyond-bound sequence did not fall back to the streaming kernel"
+
+
+def test_flash_fully_masked_row_matches_xla():
+    """A fully-masked row must produce the XLA tier's output (uniform mean
+    over the n_real columns) — NOT a mean polluted by the zero-padded
+    columns (regression: round-4 review)."""
+    from vit4hep_tpu.ops.flash_qkv_attention import flash_qkv_attention
+
+    rng = np.random.default_rng(21)
+    b, h, d, n = 1, 2, 8, 150  # pads to 256: degenerate rows see 106 pad cols
+    hd = h * d
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * hd)), jnp.float32)
+    m = np.ones((n, n), bool)
+    m[7, :] = False  # row 7 attends nothing
+    mask = jnp.asarray(m)
+
+    out = flash_qkv_attention(qkv, h, mask, None, 128, 128)
+
+    qkv5 = qkv.reshape(b, n, 3, h, d)
+    q, k, v = (jnp.transpose(qkv5[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    ref = jnp.transpose(xla_attention(q, k, v, mask),
+                        (0, 2, 1, 3)).reshape(b, n, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+    # the separated-layout streaming kernel got the same pad guard
+    out_old = flash_attention(q, k, v, mask, 128, 128)
+    np.testing.assert_allclose(
+        np.asarray(out_old),
+        np.asarray(xla_attention(q, k, v, mask)), atol=2e-5)

@@ -93,17 +93,30 @@ def main(argv=None):
             raise SystemExit(
                 "--generator needs a shape-model run with sample_us: true "
                 "and energy_model: <run dir> in its config")
-        import vit4hep_tpu.data.calochallenge.transforms as tmod
-        from vit4hep_tpu.data.calochallenge.transforms import build_pipeline
+        import importlib
+
         from vit4hep_tpu.utils.config import OmegaConf
         from vit4hep_tpu.utils.serving import save_generator
         from vit4hep_tpu.utils.torch_migration import load_net_params
 
+        def family_transforms(exp_type):
+            # each family's experiment parameterizes its transforms module
+            # (experiments/*.py transforms_module); resolve the same way
+            # from the run's exp_type so two-stage runs of ANY family export
+            fam = str(exp_type or "calochallenge").split("_")[0]
+            if fam not in ("calochallenge", "calogan", "lemurs",
+                           "calohadronic"):
+                fam = "calochallenge"
+            return importlib.import_module(f"vit4hep_tpu.data.{fam}.transforms")
+
         e_cfg = OmegaConf.load(
             os.path.join(str(cfg.energy_model), "config.yaml"))
-        e_transforms = build_pipeline(e_cfg.data.transforms,
-                                      str(e_cfg.run_dir), tmod)
-        s_transforms = build_pipeline(cfg.data.transforms, run_dir, tmod)
+        e_mod = family_transforms(e_cfg.get("exp_type"))
+        s_mod = family_transforms(cfg.get("exp_type"))
+        e_transforms = e_mod.build_pipeline(e_cfg.data.transforms,
+                                            str(e_cfg.run_dir), e_mod)
+        s_transforms = s_mod.build_pipeline(cfg.data.transforms, run_dir,
+                                            s_mod)
         e_model, e_params, _ = load_net_params(
             e_cfg.model,
             os.path.join(str(e_cfg.run_dir), "models", "model_run0"),

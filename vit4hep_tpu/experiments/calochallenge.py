@@ -217,10 +217,17 @@ class CaloChallenge(BaseExperiment):
         Same streaming/padding discipline as _sample_in_batches."""
         from vit4hep_tpu.experiments.fused_chain import make_fused_generate
 
-        self.load_energy_model()
-        gen = jax.jit(make_fused_generate(
-            self.model, self.energy_model, self.energy_model_transforms,
-            self.transforms))
+        # cache the jitted chain across sample_n calls (plot + eval each
+        # trigger one): the two-model program's compile is ~2x a train
+        # step's — rebuilding the closure per call would retrace every time
+        gen_key = str(self.cfg.energy_model)
+        if getattr(self, "_fused_gen_key", None) != gen_key:
+            self.load_energy_model()
+            self._fused_gen = jax.jit(make_fused_generate(
+                self.model, self.energy_model, self.energy_model_transforms,
+                self.transforms))
+            self._fused_gen_key = gen_key
+        gen = self._fused_gen
         key, self.base_key = jax.random.split(self.base_key)
         conds = np.asarray(transformed_cond, np.float32)
         n = len(conds)

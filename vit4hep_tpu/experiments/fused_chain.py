@@ -112,11 +112,14 @@ def device_u_chain(energy_transforms, shape_transforms):
     in REVERSE, then the shape model's in forward order — exactly the
     staged `sample_us` loops (experiments/calochallenge.py:220-225)."""
     fns = []
+    # gate on hasattr, NOT truthiness: the staged loops
+    # (calochallenge.py sample_us) apply any transform that merely CARRIES
+    # the attribute, and the fused path's contract is staged parity
     for t in list(energy_transforms)[::-1]:
-        if getattr(t, "u_transform", False):
+        if hasattr(t, "u_transform"):
             fns.append(_twin(t, rev=True))
     for t in shape_transforms:
-        if getattr(t, "u_transform", False):
+        if hasattr(t, "u_transform"):
             fns.append(_twin(t, rev=False))
 
     def apply(u):

@@ -168,10 +168,15 @@ def qkv_attention(qkv, num_heads, mask=None, impl="auto", scale=None):
         # beyond-VMEM tier in the SAME native layout: no transposes at the
         # kernel boundary, bf16-resident panel, per-head online softmax
         # (ops/flash_qkv_attention.py — round-4 replacement of the
-        # separated-layout flash fallback for panel-layout callers)
-        from vit4hep_tpu.ops.flash_qkv_attention import flash_qkv_attention
+        # separated-layout flash fallback for panel-layout callers). Past
+        # ITS panel-residency bound (~16k tokens at hidden 480) the
+        # streaming separated-layout kernel below takes over — it reads
+        # K/V blocks from HBM and compiles at any N.
+        from vit4hep_tpu.ops.flash_qkv_attention import (
+            flash_qkv_attention, flash_qkv_fits)
 
-        return flash_qkv_attention(qkv, num_heads, mask, scale)
+        if flash_qkv_fits(n, hd):
+            return flash_qkv_attention(qkv, num_heads, mask, scale)
     # separated-tensor fallbacks: split + transpose around dot_product_attention
     b, _, three_hd = qkv.shape
     d = three_hd // 3 // num_heads

@@ -56,7 +56,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, n_real,
         s = jnp.where(valid, s, _NEG_INF)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        # pad guard: on a fully-masked row every s is _NEG_INF and
+        # exp(s - m_new) = 1 everywhere INCLUDING the zero-padded columns;
+        # zeroing the pads keeps the degenerate row at the uniform mean
+        # over n_real columns, matching the unpadded XLA tier
+        p = jnp.where(col < n_real, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m_i - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(

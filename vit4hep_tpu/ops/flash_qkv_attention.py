@@ -85,7 +85,12 @@ def _fwd_kernel(q_ref, panel_ref, mask_ref, o_ref, lse_ref, *, num_heads,
                     valid, mask_ref[0, :, pl.ds(kb * block_k, block_k)])
             s = jnp.where(valid, s, _NEG_INF)
             m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
+            # zero the PAD columns explicitly: on a fully-masked row every
+            # s equals _NEG_INF, so exp(s - m_new) = 1 everywhere including
+            # the zero-padding — the pad guard keeps the degenerate row's
+            # output the uniform mean over the n_real columns, bit-matching
+            # the XLA / fused tiers (which see no padding)
+            p = jnp.where(col < n_real, jnp.exp(s - m_new), 0.0)
             alpha = jnp.exp(m_i - m_new)
             l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc = acc * alpha + _mm(p, v_blk, ((1,), (0,)), mm_dtype)
@@ -230,14 +235,32 @@ def _prep(qkv, mask, block_q, block_k):
     return q_part, panel, mp, n_pad, hd, mm_dtype
 
 
-def _vmem_limit(n_pad, hd, block_q, block_k, mm_dtype, extra=0):
+def _vmem_request(n_pad, hd, block_q, block_k, mm_dtype, extra=0):
     # 1.35x margin: the estimate undershot a measured 8192-token compile by
     # ~5% (double-buffered q/out/lse windows beyond the modeled set)
     panel = n_pad * 3 * hd * (4 if mm_dtype == jnp.float32 else 2)
     blocks = 4 * block_q * (2 * hd + 3 * hd) * 4 + 16 * block_q * block_k
+    return int(1.35 * (panel + blocks + extra))
+
+
+def _vmem_limit(n_pad, hd, block_q, block_k, mm_dtype, extra=0):
     return min(128 * 1024 * 1024,
                max(48 * 1024 * 1024,
-                   int(1.35 * (panel + blocks + extra))))
+                   _vmem_request(n_pad, hd, block_q, block_k, mm_dtype,
+                                 extra)))
+
+
+def flash_qkv_fits(n, hd, block_q=512, block_k=512) -> bool:
+    """Panel-residency bound of this kernel: the whole (N_pad, 3HD) bf16
+    panel must ride VMEM (~16k tokens at hidden 480). The dispatcher
+    (ops/attention.py) falls back to the streaming separated-layout flash
+    kernel beyond it — that one compiles at any N."""
+    bq = min(block_q, _round_up(n, 128))
+    bk = min(block_k, _round_up(n, 128))
+    n_pad = _round_up(n, max(bq, bk))
+    # the backward's request is the larger one (adds do + q_part residency)
+    return _vmem_request(n_pad, hd, bq, bk, jnp.bfloat16,
+                         extra=2 * n_pad * hd * 4) <= 128 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5))
