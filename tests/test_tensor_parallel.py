@@ -296,3 +296,50 @@ def test_tp_fused_block_train_step():
     np.testing.assert_allclose(loss_tp, loss_dp, rtol=1e-5)
     qkv = state_tp.params["params"]["block_0"]["Attention_0"]["Dense_0"]["kernel"]
     assert not qkv.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_tp_flash_qkv_matches_replicated():
+    """TP parity through the panel-native flash tier (round 4,
+    ops/flash_qkv_attention.py): attn_impl 'flash' at 144 tokens routes the
+    qkv Dense output straight into the online-softmax kernel; Megatron
+    column-sharded qkv / row-sharded out projections must compose with it
+    exactly like the one-shot fused kernel."""
+    from vit4hep_tpu.utils.config import instantiate
+
+    model = instantiate({
+        "_target_": "experiments.calochallenge.calochallenge_cfm.model.CaloChallengeCFM",
+        "in_channels": 1, "shape": [9, 8, 2], "patch_shape": [1, 1, 1],
+        "odeint_kwargs": {"method": "euler", "options": {"step_size": 0.5}},
+        "net": {"_target_": "nn.vit.ViT", "param": {
+            "dim": 3, "condition_dim": 3, "hidden_dim": 48, "depth": 1,
+            "num_heads": 2, "mlp_ratio": 2.0, "num_patches": [[9, 8, 2]],
+            "patch_dim": 1, "attn_impl": "flash"}},
+    })
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 1, 9, 8, 2)),
+                    jnp.float32)
+    t = jnp.full((8, 1), 0.4)
+    c = jnp.asarray(np.random.default_rng(1).normal(size=(8, 3)), jnp.float32)
+
+    fwd = jax.jit(lambda p, x, t, c: model.forward(p, x, t, c))
+
+    mesh_dp = mesh_lib.create_mesh(model_parallel=1)
+    out_ref = np.asarray(fwd(mesh_lib.replicate(params, mesh_dp),
+                             mesh_lib.shard_batch(x, mesh_dp), t, c))
+
+    mesh_tp = mesh_lib.create_mesh(model_parallel=2)
+    p_tp = shard_tree(params, mesh_tp)
+    out_tp = np.asarray(fwd(p_tp, mesh_lib.shard_batch(x, mesh_tp), t, c))
+    np.testing.assert_allclose(out_tp, out_ref, atol=1e-5)
+
+    # gradients through the flash custom VJP under TP
+    def loss(p, x, t, c):
+        return jnp.sum(model.forward(p, x, t, c) ** 2)
+
+    g_ref = jax.grad(loss)(mesh_lib.replicate(params, mesh_dp),
+                           mesh_lib.shard_batch(x, mesh_dp), t, c)
+    g_tp = jax.grad(loss)(p_tp, mesh_lib.shard_batch(x, mesh_tp), t, c)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_tp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
