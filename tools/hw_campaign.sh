@@ -1,6 +1,6 @@
 #!/bin/bash
-# Serial on-chip measurement campaign (round 3). Run ONLY when the axon
-# tunnel probes healthy (tools: /tmp/probe_tpu.py). Order matters: the
+# Serial on-chip measurement campaign (rounds 3-4). Run ONLY when the axon
+# tunnel probes healthy (tools/tunnel_probe.py). Order matters: the
 # official-comparable bench capture comes FIRST (VERDICT r2 next #2 —
 # insurance against a re-wedge), then the kernel-decision A/Bs, then the
 # rooflines. Everything strictly serial (1-vCPU host, CLAUDE.md).
@@ -32,5 +32,11 @@ run cinn_ab 1200 python tools/stage_ab.py cinn
 run roofline_small 1800 python tools/roofline_small_stages.py
 run roofline_ds3 1200 python tools/roofline_ds3.py
 run roofline_ds2 1200 python tools/roofline_ds3.py --ds2
+
+# 4. round-4 decompositions + crossovers (VERDICT r3 #2/#5/#7)
+run cinn_budget 1800 python tools/cinn_budget.py
+run megakernel_residue 2400 python tools/megakernel_residue.py both
+run flash_threshold 2400 python tools/flash_threshold.py
+run fused_chain_ab 1800 python tools/fused_chain_bench.py 4096
 
 echo "=== campaign done ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT/campaign.log"
