@@ -35,6 +35,11 @@ _WORKLOADS = {
     "ds2": ("model/cfm/cfm_ds2_electrons.yaml", 46, 256, 8),
     "ds3": ("model/cfm/cfm_ds3_electrons.yaml", 46, 256, 4),
     "ds1": ("model/cfm/cfm_ds1_photons.yaml", 6, 256, 8),
+    # round 4: the other families share the hidden-480/6-head geometry, so
+    # the same d=120 lever should transfer — measure, don't assume
+    "lemurs": ("model/cfm_lemurs/cfm_lemurs.yaml", 53, 256, 8),
+    "calohadronic": ("model/cfm_calohad/cfm_calohad.yaml", 59, 256, 3),
+    "calogan": ("model/cfm_calogan/cfm_eplus.yaml", 4, 256, 8),
 }
 
 
