@@ -18,6 +18,14 @@ them (VERDICT round 1, weak #1):
 - ``calohadronic_showers_s``  — CaloHadronic CFM sampling (606 tokens — the
                                 longest shipped sequence)
 - ``calogan_showers_s``       — CaloGAN e+ CFM sampling (84 tokens)
+- ``cinn_ds2_train_it_s``     — cINN max-likelihood train step (batch 64 per
+                                configs/training/cinn/ds23.yaml): -log_prob
+                                through all 20 RQS couplings + ViT1D subnets,
+                                grad, AdamW, EMA (reference
+                                models/base_model.py:149-153)
+- ``energy_ds2_train_it_s``   — energy-model CFM train step (batch 256 per
+                                configs/training/cfm/energy.yaml; reference
+                                nn/cfm/transformer_cfm.py under the train loop)
 
 Workloads are pinned to the *shipped* config files (configs/model/...), which
 mirror the reference definitions (reference configs/model/cfm/
@@ -73,12 +81,16 @@ ROUND1 = {
     "lemurs_showers_s": 315.4,         # round-3 anchor (2026-08-19)
     "calohadronic_showers_s": 69.3,    # round-3 anchor (2026-08-19)
     "calogan_showers_s": 453.6,        # round-3 anchor (2026-08-19)
+    # first measured round 5 (VERDICT r4 weak #1: no flow/energy train
+    # number existed anywhere before); anchors = the round-5 first capture
+    "cinn_ds2_train_it_s": None,
+    "energy_ds2_train_it_s": None,
 }
 
 # skip remaining secondary metrics once this much wall time is spent: a
 # degraded tunnel must not starve the driver's per-round record of the
 # headline metric (the JSON line still records every key, null if skipped)
-EXTRA_TIME_BUDGET_S = 1980.0  # 9 extras x (compile + timed iters) on a healthy tunnel
+EXTRA_TIME_BUDGET_S = 2400.0  # 11 extras x (compile + timed iters) on a healthy tunnel
 
 
 def _model_from_yaml(rel_path: str):
@@ -198,7 +210,28 @@ def bench_train_ds3(batch=16, inner=20, n_iters=3) -> float:
                         inner=inner, n_iters=n_iters)
 
 
-def _timed_train(yaml_rel, shape, batch, inner=20, n_iters=3) -> float:
+def bench_train_cinn_ds2(batch=64, inner=20, n_iters=3) -> float:
+    """cINN ds2 max-likelihood train-step throughput (it/s): -log_prob
+    through the full 20-coupling RQS flow (constrain + searchsorted spline
+    + logdet + ViT1D subnets), grad, AdamW, EMA — batch 64 per the shipped
+    configs/training/cinn/ds23.yaml (reference models/base_model.py:149-153
+    driven by experiments/base_experiment.py:433-553)."""
+    return _timed_train("model/cinn/cinn_ds2_electrons.yaml",
+                        shape=(1, 45, 16, 9), batch=batch,
+                        inner=inner, n_iters=n_iters)
+
+
+def bench_train_energy_ds2(batch=256, inner=20, n_iters=3) -> float:
+    """Energy-model (ParallelTransformer CFM) ds2 train-step throughput
+    (it/s) at batch 256 per configs/training/cfm/energy.yaml (reference
+    nn/cfm/transformer_cfm.py:12-119 under the train loop)."""
+    return _timed_train("model/cfm/cfm_ds2_energy.yaml",
+                        shape=(45,), batch=batch,
+                        inner=inner, n_iters=n_iters, cond_dim=1)
+
+
+def _timed_train(yaml_rel, shape, batch, inner=20, n_iters=3,
+                 cond_dim=46) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -222,7 +255,7 @@ def _timed_train(yaml_rel, shape, batch, inner=20, n_iters=3) -> float:
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(batch,) + shape).astype(np.float32))
     c = jnp.asarray(np.random.default_rng(1).normal(
-        size=(batch, 46)).astype(np.float32))
+        size=(batch, cond_dim)).astype(np.float32))
 
     @jax.jit
     def run(state, key):
@@ -387,7 +420,7 @@ def _bank_partial(record):
     mid-run wedge or kill then still leaves everything measured so far, and
     the wedged-probe fallback's newest-capture glob picks the file up."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_MIDROUND_r04_partial.json")
+                        "BENCH_MIDROUND_r05_partial.json")
     try:
         with open(path + ".tmp", "w") as f:
             json.dump(record, f, indent=1)
@@ -415,6 +448,9 @@ def main():
         ("lemurs_showers_s", bench_lemurs, "showers/sec"),
         ("calohadronic_showers_s", bench_calohadronic, "showers/sec"),
         ("calogan_showers_s", bench_calogan, "showers/sec"),
+        ("cinn_ds2_train_it_s", bench_train_cinn_ds2, "it/sec (batch 64)"),
+        ("energy_ds2_train_it_s", bench_train_energy_ds2,
+         "it/sec (batch 256)"),
     ]
     t_start = time.perf_counter()
     for name, fn, unit in extra_specs:
@@ -425,9 +461,10 @@ def main():
         # a failure in one secondary metric must not kill the headline record
         try:
             v = fn()
+            anchor = ROUND1.get(name)
             extra[name] = {
                 "value": round(v, 2), "unit": unit,
-                "vs_round1": round(v / ROUND1[name], 3),
+                "vs_round1": (round(v / anchor, 3) if anchor else None),
             }
         except Exception:
             traceback.print_exc()

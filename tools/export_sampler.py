@@ -122,11 +122,26 @@ def main(argv=None):
             os.path.join(str(e_cfg.run_dir), "models", "model_run0"),
             jax.random.PRNGKey(0))
         out = arg.out or os.path.join(run_dir, "generator.v4h")
-        header = save_generator(
-            out, model, params, e_model, e_params, e_transforms,
-            s_transforms, arg.batch,
-            meta=dict(meta, energy_run=str(cfg.energy_model)),
-        )
+        # per-family cond composition, matching each staged sample_n:
+        # CaloGAN appends u LAST ([cond | u], experiments/calogan.py);
+        # LEMURS conditions the energy model on only the first 3 cond
+        # columns ([E,theta,phi]) while the shape cond also carries the
+        # label one-hot (experiments/lemurs.py sample_n)
+        fam = str(cfg.get("exp_type") or "calochallenge").split("_")[0]
+        u_position = "last" if fam == "calogan" else "first"
+        energy_cond_width = (int(e_model.condition_dim)
+                             if fam == "lemurs" else None)
+        from vit4hep_tpu.experiments.fused_chain import UnsupportedTransform
+
+        try:
+            header = save_generator(
+                out, model, params, e_model, e_params, e_transforms,
+                s_transforms, arg.batch, u_position=u_position,
+                energy_cond_width=energy_cond_width,
+                meta=dict(meta, energy_run=str(cfg.energy_model)),
+            )
+        except UnsupportedTransform as e:
+            raise SystemExit(f"--generator: {e}")
         print(f"wrote {out}: {header['model']} batch={header['batch']} "
               f"cond_dim={header['cond_dim']} out={header['out_shape']} "
               f"platforms={header['platforms']} ema={use_ema}")

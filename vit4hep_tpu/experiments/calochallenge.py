@@ -182,7 +182,9 @@ class CaloChallenge(BaseExperiment):
                         return self._sample_n_fused(
                             transformed_cond, batchsize_sample, t_0)
                     except UnsupportedTransform as e:
-                        LOGGER.warning(f"fused_generation: {e}")
+                        # a cached verdict was already warned about once
+                        (LOGGER.debug if getattr(e, "cached", False)
+                         else LOGGER.warning)(f"fused_generation: {e}")
                 u_samples = self.sample_us(transformed_cond, batchsize_sample)
                 transformed_cond = np.concatenate([u_samples, transformed_cond], axis=1)
             else:  # truth u's from the test set
@@ -215,18 +217,37 @@ class CaloChallenge(BaseExperiment):
         next #6): removes the per-batch device->host->device round trip the
         staged sample_us path pays between the energy and shape RK4 loops.
         Same streaming/padding discipline as _sample_in_batches."""
-        from vit4hep_tpu.experiments.fused_chain import make_fused_generate
+        from vit4hep_tpu.experiments.fused_chain import (
+            UnsupportedTransform, chain_fingerprint, make_fused_generate)
 
         # cache the jitted chain across sample_n calls (plot + eval each
         # trigger one): the two-model program's compile is ~2x a train
-        # step's — rebuilding the closure per call would retrace every time
-        gen_key = str(self.cfg.energy_model)
-        if getattr(self, "_fused_gen_key", None) != gen_key:
+        # step's — rebuilding the closure per call would retrace every time.
+        # The key includes a transform-state fingerprint (the jitted closure
+        # bakes the constants in at build time, so a refit/reload must
+        # invalidate it) and a failed build caches a None sentinel so the
+        # staged fallback doesn't rebuild + rewarn on every sample_n call.
+        if not hasattr(self, "energy_model"):
             self.load_energy_model()
-            self._fused_gen = jax.jit(make_fused_generate(
-                self.model, self.energy_model, self.energy_model_transforms,
-                self.transforms))
+        gen_key = (str(self.cfg.energy_model),
+                   chain_fingerprint(self.energy_model_transforms,
+                                     self.transforms))
+        if getattr(self, "_fused_gen_key", None) != gen_key:
+            try:
+                self._fused_gen = jax.jit(make_fused_generate(
+                    self.model, self.energy_model,
+                    self.energy_model_transforms, self.transforms))
+            except UnsupportedTransform:
+                self._fused_gen = None
+                self._fused_gen_key = gen_key
+                raise
             self._fused_gen_key = gen_key
+        if self._fused_gen is None:
+            e = UnsupportedTransform(
+                "fused chain unavailable for this transform pipeline "
+                "(cached verdict); using the staged path")
+            e.cached = True
+            raise e
         gen = self._fused_gen
         key, self.base_key = jax.random.split(self.base_key)
         conds = np.asarray(transformed_cond, np.float32)

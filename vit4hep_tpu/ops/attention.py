@@ -175,7 +175,7 @@ def qkv_attention(qkv, num_heads, mask=None, impl="auto", scale=None):
         from vit4hep_tpu.ops.flash_qkv_attention import (
             flash_qkv_attention, flash_qkv_fits)
 
-        if flash_qkv_fits(n, hd):
+        if flash_qkv_fits(n, hd, num_heads=num_heads):
             return flash_qkv_attention(qkv, num_heads, mask, scale)
     # separated-tensor fallbacks: split + transpose around dot_product_attention
     b, _, three_hd = qkv.shape

@@ -250,7 +250,7 @@ def _vmem_limit(n_pad, hd, block_q, block_k, mm_dtype, extra=0):
                                  extra)))
 
 
-def flash_qkv_fits(n, hd, block_q=512, block_k=512) -> bool:
+def flash_qkv_fits(n, hd, block_q=512, block_k=512, num_heads=0) -> bool:
     """Panel-residency bound of this kernel: the whole (N_pad, 3HD) bf16
     panel must ride VMEM (~16k tokens at hidden 480). The dispatcher
     (ops/attention.py) falls back to the streaming separated-layout flash
@@ -258,9 +258,12 @@ def flash_qkv_fits(n, hd, block_q=512, block_k=512) -> bool:
     bq = min(block_q, _round_up(n, 128))
     bk = min(block_k, _round_up(n, 128))
     n_pad = _round_up(n, max(bq, bk))
-    # the backward's request is the larger one (adds do + q_part residency)
+    # the backward's request is the larger one (adds do + q_part residency
+    # plus the lse/delta panels) — the extra term here must stay identical
+    # to _flash_qkv_bwd's so the bound can't under-admit near the boundary
     return _vmem_request(n_pad, hd, bq, bk, jnp.bfloat16,
-                         extra=2 * n_pad * hd * 4) <= 128 * 1024 * 1024
+                         extra=2 * n_pad * (hd + num_heads) * 4) \
+        <= 128 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5))

@@ -88,19 +88,35 @@ def export_sampler(model, params, batch: int, *, cond_dim: int | None = None,
 def export_generator(shape_model, shape_params, energy_model, energy_params,
                      energy_transforms, shape_transforms, batch: int, *,
                      cond_dim: int | None = None, platforms=None,
+                     u_position="first", energy_cond_width=None,
                      meta: dict | None = None) -> bytes:
     """Serialize the FULL two-stage generation chain — energy-model RK4,
     on-device u mapping, shape-model RK4 (experiments/fused_chain.py) — as
     one AOT artifact: ``generate(E_cond: f32[batch, cond_dim], seed) ->
     showers``. The user-facing product (reference experiments/calochallenge/
     experiment.py:170-247) as a single self-contained program, both
-    parameter sets and the transform constants baked in."""
+    parameter sets and the transform constants baked in.
+
+    ``u_position``/``energy_cond_width`` select the per-family cond
+    composition (see make_fused_generate); when ``cond_dim`` is None it is
+    derived as shape_model.condition_dim minus the energy model's u width,
+    so families whose shape cond carries extra columns beyond the energy
+    cond (LEMURS labels, CaloHadronic FT extras) export correctly."""
     from vit4hep_tpu.experiments.fused_chain import make_fused_generate
 
     gen = make_fused_generate(shape_model, energy_model, energy_transforms,
-                              shape_transforms)
+                              shape_transforms, u_position=u_position,
+                              energy_cond_width=energy_cond_width)
     if cond_dim is None:
-        cond_dim = int(energy_model.condition_dim)
+        e_width = int(energy_cond_width
+                      if energy_cond_width is not None
+                      else energy_model.condition_dim)
+        u_width = jax.eval_shape(
+            energy_model.sample_batch, energy_params,
+            jax.ShapeDtypeStruct((batch, e_width), jnp.float32),
+            jax.random.PRNGKey(0),
+        ).shape[-1]
+        cond_dim = int(shape_model.condition_dim) - int(u_width)
 
     def generate(cond, seed):
         shower, _ = gen(shape_params, energy_params, cond,
@@ -121,6 +137,9 @@ def export_generator(shape_model, shape_params, energy_model, energy_params,
         "kind": "generator",
         "batch": int(batch),
         "cond_dim": int(cond_dim),
+        "u_position": str(u_position),
+        "energy_cond_width": (None if energy_cond_width is None
+                              else int(energy_cond_width)),
         "out_shape": [int(s) for s in exported.out_avals[0].shape],
         "platforms": list(exported.platforms),
         "model": f"{type(energy_model).__name__}+{type(shape_model).__name__}",
