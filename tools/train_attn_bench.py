@@ -107,9 +107,12 @@ def main():
             rate = bench_train(yaml_rel, shape, impl, batch=batch)
             print(f"{name} train (batch {batch}) attn_impl={impl:5s}: "
                   f"{rate:6.2f} it/s")
-        # the fused_block sample->true decision (VERDICT round 2, next #3):
-        # does the all-Pallas megakernel tier beat the composed train step?
-        for fb in (True,):
+        # the fused_block decision arms: `true` = all-Pallas megakernel
+        # fwd+bwd (VERDICT r2 #3, lost -5.7%/-13% round 4); "hybrid" = the
+        # round-5 arm (VERDICT r4 next #2): megakernel forward writing the
+        # residual set + composed-XLA backward over those residuals
+        # (batched dW matmuls, zero recompute)
+        for fb in (True, "hybrid"):
             rate = bench_train(yaml_rel, shape, "auto", batch=batch,
                                fused_block=fb)
             print(f"{name} train (batch {batch}) fused_block={fb}:   "

@@ -128,12 +128,12 @@ class ViTParams:
         if "mlp_ratio" in kwargs:
             kwargs["mlp_ratio"] = float(kwargs["mlp_ratio"])
         fb = kwargs.get("fused_block", False)
-        # strict: every gate uses `is True` / == "sample", so YAML ints
+        # strict: every gate matches exact values, so YAML ints
         # (fused_block: 1) must be rejected, not let 1 == True slip through
-        if not (isinstance(fb, bool) or fb == "sample"):
+        if not (isinstance(fb, bool) or fb in ("sample", "hybrid")):
             raise ValueError(
-                f"fused_block must be true, false, or 'sample' — got "
-                f"{fb!r} (anything else would silently disable the "
+                f"fused_block must be true, false, 'sample', or 'hybrid' — "
+                f"got {fb!r} (anything else would silently disable the "
                 "megakernel)"
             )
         return cls(**kwargs)
@@ -470,7 +470,7 @@ class _ViTBase(nn.Module):
     def _blocks(self, x, c, mask):
         p = self.cfg
         if (
-            p.fused_block is True
+            p.fused_block in (True, "hybrid")
             and not p.checkpoint_grads
             and not p.pad_attn_heads
             and (mask is None or mask.ndim == 2)
@@ -489,7 +489,7 @@ class _ViTBase(nn.Module):
             x = block_cls(
                 p.hidden_dim, p.num_heads, mlp_ratio=p.mlp_ratio,
                 attn_impl=p.attn_impl, fused_mlp=p.fused_mlp,
-                fused_block=p.fused_block is True and not p.checkpoint_grads,
+                fused_block=p.fused_block in (True, "hybrid") and not p.checkpoint_grads,
                 pad_heads=p.pad_attn_heads,
                 dtype=p.dtype, name=f"block_{i}",
             )(x, c, mask)
@@ -535,6 +535,7 @@ class _ViTBase(nn.Module):
         return fused_dit_stack(
             x.astype(jnp.float32), jnp.stack(mods, axis=1), *stacked, mask,
             p.num_heads, float(p.hidden_dim // p.num_heads) ** -0.5, group,
+            "xla" if p.fused_block == "hybrid" else "pallas",
         )
 
     def _fit_group(self, n, mlp_hidden):
@@ -599,6 +600,7 @@ class _ViTBase(nn.Module):
             fmod.reshape(b, 2, p.hidden_dim), wemb, bemb, *stacked,
             wfin, bfin, mask, p.num_heads,
             float(p.hidden_dim // p.num_heads) ** -0.5, group,
+            "xla" if p.fused_block == "hybrid" else "pallas",
         )
 
 
@@ -636,7 +638,7 @@ class ViTNet(_ViTBase):
         out_patch = p.out_patch_dim if p.out_patch_dim is not None else p.patch_dim
         out_dim = p.out_channels * 1 * out_patch
         if (
-            p.fused_block is True
+            p.fused_block in (True, "hybrid")
             and p.fused_stack
             and not p.checkpoint_grads  # remat wins: see _blocks
             and not p.pad_attn_heads
@@ -687,7 +689,7 @@ class ViT1DNet(_ViTBase):
         x_out = p.x_out if p.x_out is not None else 1
         out_dim = p.out_channels * x_out * p.patch_dim
         if (
-            p.fused_block is True
+            p.fused_block in (True, "hybrid")
             and p.fused_stack
             and not p.checkpoint_grads  # remat wins: see _blocks
             and not p.pad_attn_heads

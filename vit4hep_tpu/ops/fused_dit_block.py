@@ -324,9 +324,9 @@ def _pad_batch(arrs, b, group):
         b + pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def fused_dit_stack(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
-                    num_heads, scale, group=1):
+                    num_heads, scale, group=1, bwd="pallas"):
     """The whole DiT-block stack as ONE Pallas kernel per batch element.
 
     x (B, N, H); mods (B, L, 6, H); weights stacked on a leading (L, ...)
@@ -343,7 +343,12 @@ def fused_dit_stack(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
     ``group`` > 1 processes G batch elements per grid cell (the
     fused_energy_decoder trick): the panel matmuls see G*N rows, which is
     what makes small-subnet shapes (cINN ViT1D) reach the MXU. Ragged
-    batches are zero-padded to a multiple of G and sliced back."""
+    batches are zero-padded to a multiple of G and sliced back.
+
+    ``bwd`` selects the backward over the train-saved residuals:
+    "pallas" = the residual-consuming backward megakernel; "xla" = the
+    hybrid arm (composed-XLA backward, batched dW matmuls — see
+    :func:`_block_bwd_res_xla`)."""
     out, _ = _stack_fwd(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2,
                         mask, num_heads, scale, group)
     return out
@@ -816,19 +821,141 @@ def fused_dit_block_bwd_res(xin, qkv, ctx, a1, y, mod6, wqkv, wout, bout,
     return tuple(outs)
 
 
+def _block_bwd_res_xla(xin, qkv, ctx, a1, y, mod6, wqkv, wout, bout,
+                       w1, b1, w2, g, mask, num_heads, scale):
+    """Gradient of one DiT block from SAVED residuals in plain XLA ops —
+    the hybrid train arm (VERDICT r4 next #2): the megakernel forward
+    already paid the residual writes; here every weight grad is a single
+    batched (B*N, .) x (., .) matmul, dodging the sequential weight-grad
+    grid that made the all-Pallas residual backward lose. Same cheap
+    re-derivations as :func:`_bwd_res_kernel` (LN stats, softmax from the
+    saved qkv, gelu, the (H, H) out-projection), same return tuple as
+    :func:`fused_dit_block_bwd_res`; bf16 multiplicands + f32 accumulation
+    mirror the kernel's mm contract."""
+    mm_dtype = jnp.float32 if _interpret() else jnp.bfloat16
+    b, n, hdim = xin.shape
+    h_tot = num_heads
+    d = hdim // h_tot
+    scale = d**-0.5 if scale is None else scale
+
+    def mm(a, w, dims):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), w.astype(mm_dtype), (dims, ((), ())),
+            preferred_element_type=jnp.float32)
+
+    act_w = lambda a, w: mm(a, w, ((2,), (0,)))       # (B,N,I)@(I,O)
+    act_wT = lambda a, w: mm(a, w, ((2,), (1,)))      # (B,N,O)@(I,O)^T
+    dw = lambda a, gr: mm(a, gr, ((0, 1), (0, 1)))    # batched dW: (I,O)
+
+    x = xin.astype(jnp.float32)
+    qkv = qkv.astype(jnp.float32)
+    ctx = ctx.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    mod = mod6.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    m = lambda k: mod[:, k:k + 1]                     # (B, 1, H)
+
+    def ln_fwd(z):
+        mu = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.mean((z - mu) ** 2, axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var + _LN_EPS)
+        return (z - mu) * inv, inv
+
+    def ln_bwd(du, u, inv):
+        return inv * (
+            du - jnp.mean(du, axis=-1, keepdims=True)
+            - u * jnp.mean(du * u, axis=-1, keepdims=True)
+        )
+
+    # ---- cheap re-derivations (no saved-matmul recompute) -----------------
+    u, inv1 = ln_fwd(x)
+    h = u * (1.0 + m(1)) + m(0)
+    attn = act_w(ctx, wout) + bout.astype(jnp.float32)
+    x1 = x + m(2) * attn
+    u2, inv2 = ln_fwd(x1)
+    h2 = u2 * (1.0 + m(4)) + m(3)
+    if a1 is not None:
+        a1 = a1.astype(jnp.float32)
+    else:
+        a1 = act_w(h2, w1) + b1.astype(jnp.float32)
+    hid = jax.nn.gelu(a1, approximate=True)
+
+    # ---- backward ---------------------------------------------------------
+    dy = g * m(5)
+    dmod5 = jnp.sum(g * y, axis=1)
+    dhid = act_wT(dy, w2)
+    dw2 = dw(hid, dy)
+    db2 = jnp.sum(dy, axis=(0, 1))
+    _, gelu_vjp = jax.vjp(lambda z: jax.nn.gelu(z, approximate=True), a1)
+    da1 = gelu_vjp(dhid)[0]
+    dh2 = act_wT(da1, w1)
+    dw1 = dw(h2, da1)
+    db1 = jnp.sum(da1, axis=(0, 1))
+    dmod4 = jnp.sum(dh2 * u2, axis=1)
+    dmod3 = jnp.sum(dh2, axis=1)
+    du2 = dh2 * (1.0 + m(4))
+    dx1 = g + ln_bwd(du2, u2, inv2)
+    dattn = dx1 * m(2)
+    dmod2 = jnp.sum(dx1 * attn, axis=1)
+    dctx = act_wT(dattn, wout)
+    dwout = dw(ctx, dattn)
+    dbout = jnp.sum(dattn, axis=(0, 1))
+
+    # attention backward, batched (B, H, N, D): p re-derived from saved qkv
+    def heads(z, off):
+        return jnp.transpose(
+            z[..., off * hdim:(off + 1) * hdim].reshape(b, n, h_tot, d),
+            (0, 2, 1, 3))
+
+    q, k, v = heads(qkv, 0), heads(qkv, 1), heads(qkv, 2)
+    mmh = lambda a, w, dims: jax.lax.dot_general(
+        a.astype(mm_dtype), w.astype(mm_dtype),
+        (dims, ((0, 1), (0, 1))), preferred_element_type=jnp.float32)
+    s = mmh(q, k, ((3,), (3,))) * scale               # (B, Hh, N, N)
+    if mask is not None:
+        s = jnp.where(mask[None, None], s, _NEG_INF)
+    smax = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - smax)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.where(l == 0.0, 1.0, l)
+    gh = jnp.transpose(dctx.reshape(b, n, h_tot, d), (0, 2, 1, 3))
+    dv = mmh(p, gh, ((2,), (2,)))                     # (B, Hh, N, D)
+    dp = mmh(gh, v, ((3,), (3,)))                     # (B, Hh, N, N)
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))) * scale
+    dq = mmh(ds, k, ((3,), (2,)))
+    dk = mmh(ds, q, ((2,), (2,)))
+    merge = lambda z: jnp.transpose(z, (0, 2, 1, 3)).reshape(b, n, hdim)
+    dqkv = jnp.concatenate([merge(dq), merge(dk), merge(dv)], axis=-1)
+
+    dh = act_wT(dqkv, wqkv)
+    dwqkv = dw(h, dqkv)
+    dbqkv = jnp.sum(dqkv, axis=(0, 1))
+    dmod1 = jnp.sum(dh * u, axis=1)
+    dmod0 = jnp.sum(dh, axis=1)
+    du = dh * (1.0 + m(1))
+    dx = dx1 + ln_bwd(du, u, inv1)
+    dmod = jnp.stack([dmod0, dmod1, dmod2, dmod3, dmod4, dmod5],
+                     axis=1).astype(mod6.dtype)
+    return (dx, dmod, dwqkv, dbqkv, dwout, dbout, dw1, db1, dw2, db2)
+
+
 def _blocks_bwd(dx, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
-                num_heads, scale, xs_list=None, saved=None):
+                num_heads, scale, xs_list=None, saved=None, bwd="pallas"):
     """Shared reversed per-block backward over a block stack. Exactly one
     of ``saved`` (train-kernel residual tuple -> residual-consuming
     kernels) or ``xs_list`` (recomputed block inputs -> recompute kernels)
-    must be given. Returns (dx0, dmods (B, L, 6, H), [8 stacked w-grads])."""
+    must be given; with ``saved``, ``bwd="xla"`` selects the composed-XLA
+    residual backward (batched dW matmuls) over the Pallas one.
+    Returns (dx0, dmods (B, L, 6, H), [8 stacked w-grads])."""
     depth = wqkv.shape[0]
     dmods = [None] * depth
     dws = [[None] * depth for _ in range(8)]
     for li in reversed(range(depth)):
         if saved is not None:
             xs, qkvs, ctxs, a1s, ys = saved
-            grads = fused_dit_block_bwd_res(
+            bwd_fn = (_block_bwd_res_xla if bwd == "xla"
+                      else fused_dit_block_bwd_res)
+            grads = bwd_fn(
                 xs[:, li], qkvs[:, li], ctxs[:, li],
                 a1s[:, li] if a1s is not None else None, ys[:, li],
                 mods[:, li], wqkv[li], wout[li], bout[li], w1[li], b1[li],
@@ -847,7 +974,7 @@ def _blocks_bwd(dx, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
 
 
 def _stack_fwd_train(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
-                     num_heads, scale, group=1):
+                     num_heads, scale, group=1, bwd="pallas"):
     """vjp-fwd of the block stack: run the TRAIN kernel (residual-saving,
     always ungrouped — the grouped grid only matters for tiny-subnet
     sampling) when the residual windows fit VMEM; fall back to the
@@ -906,10 +1033,11 @@ def _stack_fwd_train(x, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask,
     return outs[0], (res, _pack_saved(outs, save_a1))
 
 
-def _stack_bwd(num_heads, scale, group, res, g):
-    """All-Pallas stack backward. With train-kernel residuals (the common
-    case) every block runs the residual-consuming kernel — zero forward
-    recompute. The fallback recomputes each block's input with the
+def _stack_bwd(num_heads, scale, group, bwd, res, g):
+    """Stack backward. With train-kernel residuals (the common case) every
+    block runs the residual-consuming backward — the Pallas kernel, or
+    with ``bwd="xla"`` the composed-XLA hybrid — zero forward recompute
+    either way. The fallback recomputes each block's input with the
     per-block forward megakernel (L-1 extra forwards) and runs the
     recompute backward kernel. ``group`` only shapes the forward's grid;
     the backward is group-independent."""
@@ -931,7 +1059,7 @@ def _stack_bwd(num_heads, scale, group, res, g):
 
     dx, dmods, dws = _blocks_bwd(
         g, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, num_heads,
-        scale, xs_list=xs_list, saved=saved,
+        scale, xs_list=xs_list, saved=saved, bwd=bwd,
     )
     return (dx, dmods, *dws, None)
 
@@ -1230,10 +1358,10 @@ def _vit_kernel_g(tok_ref, pos_ref, mods_ref, fmod_ref, wemb_ref,
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19, 20))
 def fused_vit_forward(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
                       bout, w1, b1, w2, b2, wfin, bfin, mask, num_heads,
-                      scale, group=1):
+                      scale, group=1, bwd="pallas"):
     """Whole-ViT sampler forward as ONE Pallas kernel per batch element.
 
     tokens (B, N, P); pos (N, H); mods (B, L, 6, H); fmod (B, 2, H)
@@ -1362,7 +1490,7 @@ def vit_forward_reference(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv,
 
 def _vit_fwd_train(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
                    bout, w1, b1, w2, b2, wfin, bfin, mask, num_heads, scale,
-                   group=1):
+                   group=1, bwd="pallas"):
     """vjp-fwd of the whole-ViT kernel: run the TRAIN kernel
     (residual-saving, always ungrouped) when the residual windows fit
     VMEM; fall back to the residual-free forward + recompute backward
@@ -1433,7 +1561,7 @@ def _vit_fwd_train(tokens, pos, mods, fmod, wemb, bemb, wqkv, bqkv, wout,
     return outs[0], (res, _pack_saved(outs, save_a1))
 
 
-def _vit_bwd(num_heads, scale, group, res, g):
+def _vit_bwd(num_heads, scale, group, bwd, res, g):
     """Kernel-path backward: jnp VJPs for the (tiny) embedder and final
     layer, and per-block backward megakernels in reverse — the block math
     (the FLOPs) never touches the composed path. With train-kernel
@@ -1476,7 +1604,7 @@ def _vit_bwd(num_heads, scale, group, res, g):
 
     dx, dmods, dws = _blocks_bwd(
         dx, mods, wqkv, bqkv, wout, bout, w1, b1, w2, b2, mask, num_heads,
-        scale, xs_list=xs_list, saved=saved,
+        scale, xs_list=xs_list, saved=saved, bwd=bwd,
     )
     dtokens, dwemb, dbemb, dpos = embed_vjp(dx)
     return (dtokens, dpos, dmods, dfmod, dwemb, dbemb,
