@@ -5,24 +5,32 @@ round 5 adds ``cinn_ds2_train_it_s``. This tool explains that number: the
 max-likelihood step (-log_prob through all 20 RQS couplings + ViT1D
 subnets, grad, AdamW, EMA — reference models/base_model.py:149-153 driven
 by experiments/base_experiment.py:433-553) decomposed with the
-tools/train_roofline.py methodology, plus the stage micros that decide
-whether the COMPOSED likelihood spline (constrain + searchsorted + logdet
-— the path ops/fused_spline.py deliberately skips) is the wall:
+tools/train_roofline.py methodology.
 
-  full step        bench.py's scanned train program: it/s + subnet-matmul MFU
-  fwd-only         -log_prob loss scan: fwd vs bwd+update split
-  fwd+bwd          value_and_grad without optimizer/EMA/skip: update share
-  subnet fwd       one ViT1D forward (2 per coupling, 40 per log_prob eval)
-  spline fwd       composed constrain + binned_rqs forward (likelihood dir)
-  coupling fwd     one real block.forward (sanity: ~ 2*(subnet+spline))
+First on-chip read (2026-08-20): full step 7.44 it/s at 11.6% MFU while
+fwd-only runs 7.3 ms at 71.2% MFU — the BACKWARD (+update) is 95% of the
+step, ~17x the forward instead of the ~2x a matmul-bound chain would pay.
+The stage micros below localize that pathology (subnet vjp? spline vjp?
+split/interleave scatters? optimizer over the 53M-param flow?), so they
+run FIRST and every arm is fenced — a ResourceExhausted in one arm (seen
+when three 20-coupling programs are resident at once) no longer kills the
+readout.
+
+Arms:
+  subnet fwd / f+b      one ViT1D forward / value_and_grad through it
+  spline fwd / f+b      composed constrain + binned_rqs likelihood dir
+  coupling fwd / f+b    one real block.forward / vjp through it
+  full step             bench.py's scanned train program: it/s + MFU
+  fwd-only              -log_prob loss scan
+  fwd+bwd               value_and_grad without optimizer/EMA/skip
 
 MFU accounting: per log_prob eval the matmul FLOPs are 40 subnet forwards
-(nb couplings x 2 subnets); the train step costs ~3x forward matmuls
-(fwd + dL/dx + dL/dW). Subnet per-eval MACs use BASELINE.md's per-block
-formula 12 H^2 N + 2 N^2 H at the ViT1D shape (N=135, H=192, depth 3).
+(nb couplings x 2 subnets); the train step costs ~3x forward matmuls.
+Subnet per-eval MACs use BASELINE.md's per-block formula at the ViT1D
+shape (N=135, H=192, depth 3).
 
 Run (serial on this 1-vCPU host): python tools/cinn_train_roofline.py
-[--smoke]
+[--smoke] [--skip-micros]
 """
 
 from __future__ import annotations
@@ -30,6 +38,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -59,6 +68,17 @@ def _subnet_tflops_per_eval(batch):
     return batch * 2.0 * macs / 1e12
 
 
+def fenced(name):
+    """Run an arm; a device OOM or compile failure prints and moves on."""
+    def deco(fn):
+        try:
+            fn()
+        except Exception:
+            print(f"[{name} FAILED]", flush=True)
+            traceback.print_exc()
+    return deco
+
+
 def main():
     from vit4hep_tpu.utils.config import _load_yaml, instantiate
 
@@ -78,83 +98,9 @@ def main():
 
     nb = sum(1 for b in model.net.blocks if hasattr(b, "subnet_ctor"))
     fwd_t = 2 * nb * _subnet_tflops_per_eval(batch)  # TF per log_prob eval
+    tf_sub = _subnet_tflops_per_eval(batch)
 
-    # ---- full train step (bench.py _timed_train pattern) -------------------
-    from vit4hep_tpu.experiments import train_state as ts
-
-    class TCfg(dict):
-        __getattr__ = dict.get
-        lr = 1e-3
-        iterations = 1000
-
-    tx = ts.make_optimizer(TCfg())
-    state = ts.create_train_state(params, tx, use_ema=True)
-    step = ts.make_train_step(
-        lambda p, xx, cc, rng: model.batch_loss(p, xx, cc, rng),
-        tx, clip_grad_value=None, clip_grad_norm=1.0, max_grad_norm=50.0,
-        ema_decay=0.9999,
-    )
-
-    @jax.jit
-    def run(st, k):
-        def body(carry, i):
-            s, _ = step(carry, (x, c), jax.random.fold_in(k, i))
-            return s, None
-        st, _ = jax.lax.scan(body, st, jnp.arange(inner))
-        return st
-
-    state = run(state, jax.random.PRNGKey(1))
-    sync = lambda: float(jnp.sum(jax.tree.leaves(state.params)[0]))
-    sync()
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        state = run(state, jax.random.PRNGKey(2 + i))
-    sync()
-    per_step = (time.perf_counter() - t0) / (inner * n_iters)
-    print(f"full step : {1 / per_step:7.2f} it/s  {per_step * 1e3:7.2f} ms  "
-          f"MFU {3 * fwd_t / per_step / BF16_PEAK_TFLOPS * 100:5.1f}% "
-          f"(batch {batch}, {nb} couplings)")
-
-    # ---- fwd-only loss scan ------------------------------------------------
-    @jax.jit
-    def fwd_only(p, k):
-        def body(carry, i):
-            return carry + model.batch_loss(p, x, c, jax.random.fold_in(k, i)), None
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(inner))
-        return acc
-
-    float(fwd_only(params, jax.random.PRNGKey(3)))
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        float(fwd_only(params, jax.random.PRNGKey(4 + i)))
-    t_fwd = (time.perf_counter() - t0) / (inner * n_iters)
-    print(f"fwd-only  : {t_fwd * 1e3:7.2f} ms  "
-          f"MFU {fwd_t / t_fwd / BF16_PEAK_TFLOPS * 100:5.1f}%  "
-          f"(bwd+update = {(per_step - t_fwd) * 1e3:.2f} ms, "
-          f"{(per_step - t_fwd) / per_step * 100:.0f}% of step)")
-
-    # ---- fwd+bwd without optimizer/EMA/skip --------------------------------
-    from vit4hep_tpu.experiments.train_state import global_norm
-
-    @jax.jit
-    def grad_only(p, k):
-        def body(carry, i):
-            loss, grads = jax.value_and_grad(model.batch_loss)(
-                p, x, c, jax.random.fold_in(k, i))
-            return carry + loss + global_norm(grads), None
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(inner))
-        return acc
-
-    float(grad_only(params, jax.random.PRNGKey(5)))
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        float(grad_only(params, jax.random.PRNGKey(6 + i)))
-    t_gb = (time.perf_counter() - t0) / (inner * n_iters)
-    print(f"fwd+bwd   : {t_gb * 1e3:7.2f} ms  "
-          f"MFU {3 * fwd_t / t_gb / BF16_PEAK_TFLOPS * 100:5.1f}%  "
-          f"(update+control = {(per_step - t_gb) * 1e3:.2f} ms)")
-
-    # ---- stage micros (roofline_small_stages methodology) ------------------
+    # ---- stage micros FIRST (small programs; localize the backward wall) --
     cb = next(b for b in model.net.blocks if hasattr(b, "subnet_ctor"))
     i_cb = next(i for i, b in enumerate(model.net.blocks)
                 if hasattr(b, "subnet_ctor"))
@@ -171,72 +117,198 @@ def main():
             return h
         return fn
 
-    t_sub = rs.timed(
-        scan(lambda h, cc: h + 1e-6 * subnet.apply(sp, h, cc)[..., :P]),
-        x_half, c)
-    tf_sub = _subnet_tflops_per_eval(batch)
-    print(f"subnet fwd: {t_sub * 1e3:7.3f} ms/eval  "
-          f"MFU {tf_sub / t_sub / BF16_PEAK_TFLOPS * 100:5.1f}%")
-
-    # composed likelihood spline: constrain + binned_rqs forward + logdet
     from vit4hep_tpu.ops import rqs
 
     theta = jax.device_put(
         np.random.randn(batch, T_half * P, nsp).astype(np.float32))
     x0 = jax.device_put(
         (np.random.rand(batch, T_half * P) * 4 - 2).astype(np.float32))
-
-    def spline_fwd(h, th):
-        pr = rqs.binned_constrain(
-            th, cb.bins, tuple(cb.min_bin_sizes), tuple(cb.default_domain),
-            cb.identity_tails, cb.domain_clamping)
-        y, ld = rqs.binned_rqs(h, pr, rev=False)
-        return jnp.clip(h + 1e-6 * (y + ld[:, None]), -7.9, 7.9)
-
-    t_spl = rs.timed(scan(spline_fwd), x0, theta)
-    print(f"spline fwd: {t_spl * 1e3:7.3f} ms/eval (composed "
-          f"constrain+searchsorted+logdet)")
-
-    # spline fwd+bwd: the cost the TRAIN step pays per coupling side
-    def spline_fwd_grad(h, th):
-        def loss(hh, tt):
-            pr = rqs.binned_constrain(
-                tt, cb.bins, tuple(cb.min_bin_sizes),
-                tuple(cb.default_domain), cb.identity_tails,
-                cb.domain_clamping)
-            y, ld = rqs.binned_rqs(hh, pr, rev=False)
-            return jnp.sum(y) + jnp.sum(ld)
-        gh, gt = jax.grad(loss, argnums=(0, 1))(h, th)
-        return jnp.clip(h + 1e-6 * (gh + jnp.sum(gt, axis=-1)), -7.9, 7.9)
-
-    t_splg = rs.timed(scan(spline_fwd_grad), x0, theta)
-    print(f"spline f+b: {t_splg * 1e3:7.3f} ms/eval (vjp through the "
-          f"composed spline)")
-
-    # full coupling forward on the real flow
     full = jax.device_put(
         (np.random.randn(batch, 2 * T_half, P) * 0.5).astype(np.float32))
 
-    def coup_fwd(h, cc):
-        o, _ld = model.net.bind(params).blocks[i_cb].forward(h, cc)
-        return jnp.clip(h + 1e-3 * (o - h), -8.0, 8.0)
+    if "--skip-micros" not in sys.argv:
+        @fenced("subnet fwd")
+        def _():
+            t = rs.timed(scan(
+                lambda h, cc: h + 1e-6 * subnet.apply(sp, h, cc)[..., :P]),
+                x_half, c)
+            print(f"subnet fwd: {t * 1e3:8.3f} ms/eval  "
+                  f"MFU {tf_sub / t / BF16_PEAK_TFLOPS * 100:5.1f}%",
+                  flush=True)
 
-    t_coup = rs.timed(scan(coup_fwd), full, c)
-    print(f"coupling  : {t_coup * 1e3:7.3f} ms/eval "
-          f"(2x(subnet+spline) = {2 * (t_sub + t_spl) * 1e3:.3f} ms)")
+        @fenced("subnet f+b")
+        def _():
+            def body(h, cc):
+                def loss(hh):
+                    return jnp.sum(subnet.apply(sp, hh, cc))
+                return h + 1e-6 * jax.grad(loss)(h)
+            t = rs.timed(scan(body), x_half, c)
+            print(f"subnet f+b: {t * 1e3:8.3f} ms/eval  "
+                  f"MFU {3 * tf_sub / t / BF16_PEAK_TFLOPS * 100:5.1f}% "
+                  f"(x-grad only; w-grads ride the full step)", flush=True)
 
-    # ---- budget ------------------------------------------------------------
-    t_sub_all = 2 * nb * t_sub
-    t_spl_all = 2 * nb * t_spl
-    print(f"\nper log_prob eval ({nb} couplings):")
-    print(f"  subnets   {t_sub_all * 1e3:8.2f} ms "
-          f"({t_sub_all / t_fwd * 100:5.1f}% of fwd-only)")
-    print(f"  splines   {t_spl_all * 1e3:8.2f} ms "
-          f"({t_spl_all / t_fwd * 100:5.1f}% of fwd-only)")
-    print(f"  glue      {(t_fwd - t_sub_all - t_spl_all) * 1e3:8.2f} ms "
-          f"({(t_fwd - t_sub_all - t_spl_all) / t_fwd * 100:5.1f}%)")
-    print(f"subnet-matmul ceiling: "
-          f"{1 / (3 * t_sub_all):.1f} it/s (3x fwd subnet time)")
+        @fenced("subnet f+b w-grads")
+        def _():
+            from vit4hep_tpu.experiments.train_state import global_norm
+
+            def body(h, cc):
+                def loss(pp, hh):
+                    return jnp.sum(subnet.apply(pp, hh, cc))
+                gp, gh = jax.grad(loss, argnums=(0, 1))(sp, h)
+                return h + 1e-6 * (gh + global_norm(gp))
+            t = rs.timed(scan(body), x_half, c)
+            print(f"subnet f+b+w: {t * 1e3:6.3f} ms/eval  "
+                  f"MFU {3 * tf_sub / t / BF16_PEAK_TFLOPS * 100:5.1f}% "
+                  f"(full vjp incl. weight grads)", flush=True)
+
+        def spline_fwd(h, th):
+            # perturb theta from the carry so binned_constrain is NOT
+            # loop-invariant (XLA would hoist it out of the timing scan —
+            # the first on-chip read showed 0.016 ms/eval, less than one
+            # HBM pass over theta)
+            th = th * (1.0 + 1e-9 * h[0, 0])
+            pr = rqs.binned_constrain(
+                th, cb.bins, tuple(cb.min_bin_sizes), tuple(cb.default_domain),
+                cb.identity_tails, cb.domain_clamping)
+            y, ld = rqs.binned_rqs(h, pr, rev=False)
+            return jnp.clip(h + 1e-6 * (y + ld[:, None]), -7.9, 7.9)
+
+        @fenced("spline fwd")
+        def _():
+            t = rs.timed(scan(spline_fwd), x0, theta)
+            print(f"spline fwd: {t * 1e3:8.3f} ms/eval (composed "
+                  f"constrain+searchsorted+logdet)", flush=True)
+
+        @fenced("spline f+b")
+        def _():
+            def body(h, th):
+                def loss(hh, tt):
+                    pr = rqs.binned_constrain(
+                        tt, cb.bins, tuple(cb.min_bin_sizes),
+                        tuple(cb.default_domain), cb.identity_tails,
+                        cb.domain_clamping)
+                    y, ld = rqs.binned_rqs(hh, pr, rev=False)
+                    return jnp.sum(y) + jnp.sum(ld)
+                gh, gt = jax.grad(loss, argnums=(0, 1))(h, th)
+                return jnp.clip(h + 1e-6 * (gh + jnp.sum(gt, axis=-1)), -7.9, 7.9)
+            t = rs.timed(scan(body), x0, theta)
+            print(f"spline f+b: {t * 1e3:8.3f} ms/eval (vjp through the "
+                  f"composed spline)", flush=True)
+
+        @fenced("coupling fwd")
+        def _():
+            def body(h, cc):
+                o, _ld = model.net.bind(params).blocks[i_cb].forward(h, cc)
+                return jnp.clip(h + 1e-3 * (o - h), -8.0, 8.0)
+            t = rs.timed(scan(body), full, c)
+            print(f"coupling  : {t * 1e3:8.3f} ms/eval", flush=True)
+
+        @fenced("coupling f+b")
+        def _():
+            def body(h, cc):
+                def loss(hh):
+                    o, ld = model.net.bind(params).blocks[i_cb].forward(hh, cc)
+                    return jnp.sum(o) + jnp.sum(ld)
+                return jnp.clip(h + 1e-6 * jax.grad(loss)(h), -8.0, 8.0)
+            t = rs.timed(scan(body), full, c)
+            print(f"coupling f+b: {t * 1e3:6.3f} ms/eval (x-grad)", flush=True)
+
+    # ---- full train step (bench.py _timed_train pattern) -------------------
+    from vit4hep_tpu.experiments import train_state as ts
+    from vit4hep_tpu.experiments.train_state import global_norm
+
+    class TCfg(dict):
+        __getattr__ = dict.get
+        lr = 1e-3
+        iterations = 1000
+
+    per_step_box = [None]
+    t_fwd_box = [None]
+
+    @fenced("full step")
+    def _():
+        tx = ts.make_optimizer(TCfg())
+        state = ts.create_train_state(params, tx, use_ema=True)
+        step = ts.make_train_step(
+            lambda p, xx, cc, rng: model.batch_loss(p, xx, cc, rng),
+            tx, clip_grad_value=None, clip_grad_norm=1.0, max_grad_norm=50.0,
+            ema_decay=0.9999,
+        )
+
+        @jax.jit
+        def run(st, k):
+            def body(carry, i):
+                s, _ = step(carry, (x, c), jax.random.fold_in(k, i))
+                return s, None
+            st, _ = jax.lax.scan(body, st, jnp.arange(inner))
+            return st
+
+        state = run(state, jax.random.PRNGKey(1))
+        sync = lambda: float(jnp.sum(jax.tree.leaves(state.params)[0]))
+        sync()
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state = run(state, jax.random.PRNGKey(2 + i))
+        sync()
+        per_step = (time.perf_counter() - t0) / (inner * n_iters)
+        per_step_box[0] = per_step
+        print(f"full step : {1 / per_step:7.2f} it/s  "
+              f"{per_step * 1e3:7.2f} ms  "
+              f"MFU {3 * fwd_t / per_step / BF16_PEAK_TFLOPS * 100:5.1f}% "
+              f"(batch {batch}, {nb} couplings)", flush=True)
+
+    @fenced("fwd-only")
+    def _():
+        # CINN.batch_loss IGNORES rng, so a body built on fixed (x, c) is
+        # loop-invariant and XLA hoists it out of the scan (first on-chip
+        # read: 7.18 "ms/eval" vs the 42 ms the stage micros add up to).
+        # Perturb x per iteration to defeat LICM.
+        @jax.jit
+        def fwd_only(p, k):
+            def body(carry, i):
+                xx = x * (1.0 + 1e-6 * i)
+                return carry + model.batch_loss(
+                    p, xx, c, jax.random.fold_in(k, i)), None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(inner))
+            return acc
+
+        float(fwd_only(params, jax.random.PRNGKey(3)))
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            float(fwd_only(params, jax.random.PRNGKey(4 + i)))
+        t_fwd = (time.perf_counter() - t0) / (inner * n_iters)
+        t_fwd_box[0] = t_fwd
+        msg = (f"fwd-only  : {t_fwd * 1e3:7.2f} ms  "
+               f"MFU {fwd_t / t_fwd / BF16_PEAK_TFLOPS * 100:5.1f}%")
+        if per_step_box[0]:
+            ps = per_step_box[0]
+            msg += (f"  (bwd+update = {(ps - t_fwd) * 1e3:.2f} ms, "
+                    f"{(ps - t_fwd) / ps * 100:.0f}% of step)")
+        print(msg, flush=True)
+
+    @fenced("fwd+bwd")
+    def _():
+        @jax.jit
+        def grad_only(p, k):
+            def body(carry, i):
+                xx = x * (1.0 + 1e-6 * i)  # defeat LICM (see fwd-only)
+                loss, grads = jax.value_and_grad(model.batch_loss)(
+                    p, xx, c, jax.random.fold_in(k, i))
+                return carry + loss + global_norm(grads), None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(inner))
+            return acc
+
+        float(grad_only(params, jax.random.PRNGKey(5)))
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            float(grad_only(params, jax.random.PRNGKey(6 + i)))
+        t_gb = (time.perf_counter() - t0) / (inner * n_iters)
+        msg = (f"fwd+bwd   : {t_gb * 1e3:7.2f} ms  "
+               f"MFU {3 * fwd_t / t_gb / BF16_PEAK_TFLOPS * 100:5.1f}%")
+        if per_step_box[0]:
+            msg += (f"  (update+control = "
+                    f"{(per_step_box[0] - t_gb) * 1e3:.2f} ms)")
+        print(msg, flush=True)
 
 
 if __name__ == "__main__":
@@ -244,5 +316,5 @@ if __name__ == "__main__":
         rs.INNER = 2
     float(jnp.zeros(()))
     print(f"device: {jax.devices()[0].platform}, dispatch floor "
-          f"{rs.measure_dispatch_floor() * 1e3:.1f} ms")
+          f"{rs.measure_dispatch_floor() * 1e3:.1f} ms", flush=True)
     main()
