@@ -144,6 +144,30 @@ def test_dnn_classifier_separates(rng):
     assert 0.35 < auc < 0.65
 
 
+def test_classifier_streaming_fallback_equivalent(rng):
+    """The host-streaming fallback (datasets too big for HBM) reaches the
+    same verdict as the device-resident epoch-scan loop on the same data
+    (round-5 rewrite: one jitted lax.scan per epoch instead of one
+    dispatch + 26 MB upload per batch)."""
+    from vit4hep_tpu.evaluation.classifiers import _train_classifier_streaming
+
+    n = 1500
+    real = np.concatenate([rng.normal(2, 1, (n, 4)), np.ones((n, 1))], axis=1)
+    fake = np.concatenate([rng.normal(-2, 1, (n, 4)), np.zeros((n, 1))], axis=1)
+    train, test, val = ttv_split(fake, real, rng=rng)
+    cfg = ClassifierConfig(lr=1e-3, batch_size=256, n_epochs=4)
+    _, apply_scan = train_classifier(
+        DNN(num_layer=1, num_hidden=32), train, test, cfg)
+    _, apply_stream = _train_classifier_streaming(
+        DNN(num_layer=1, num_hidden=32), train, test, cfg)
+    _, auc_scan, _ = evaluate_classifier(apply_scan, val,
+                                         calibration_data=test, final_eval=True)
+    _, auc_stream, _ = evaluate_classifier(apply_stream, val,
+                                           calibration_data=test, final_eval=True)
+    assert auc_scan > 0.95 and auc_stream > 0.95
+    assert abs(auc_scan - auc_stream) < 0.03
+
+
 @pytest.mark.slow
 def test_resnet3d_forward(rng):
     import jax
