@@ -241,12 +241,14 @@ def train_classifier(model: nn.Module, train_data, test_data, cfg: ClassifierCon
         return _bce_with_logits(logits, y), (logits, new_vars)
 
     @jax.jit
-    def train_epoch(params, batch_stats, opt_state, perm, rng):
-        # perm: (steps * bs,) int32 — shuffled sample ids, tail wrapped
+    def train_epoch(data, params, batch_stats, opt_state, perm, rng):
+        # perm: (steps * bs,) int32 — shuffled sample ids, tail wrapped.
+        # `data` is an explicit argument (NOT a closure capture: captured
+        # device arrays are embedded as multi-GB lowering constants)
         def body(carry, sc):
             params, batch_stats, opt_state, correct = carry
             ids, i = sc
-            batch = jnp.take(train_dev, ids, axis=0)
+            batch = jnp.take(data, ids, axis=0)
             x, y = batch[:, :-1], batch[:, -1]
             (loss, (logits, new_vars)), grads = jax.value_and_grad(
                 loss_and_logits, has_aux=True
@@ -264,26 +266,25 @@ def train_classifier(model: nn.Module, train_data, test_data, cfg: ClassifierCon
         )
         return params, batch_stats, opt_state, correct, losses[-1]
 
+    @jax.jit
+    def _infer_batches(batches, params, batch_stats):
+        vars_in = {"params": params,
+                   **({"batch_stats": batch_stats} if has_bn else {})}
+
+        def body(_, x):
+            return None, model.apply(vars_in, x[:, :-1], train=False
+                                     ).squeeze(-1)
+
+        _, logits = jax.lax.scan(body, None, batches)
+        return logits.reshape(-1)
+
     def make_infer(data_dev):
         m = data_dev.shape[0]
         m_steps = max(1, -(-m // bs))
         pad = m_steps * bs - m
-        padded = jnp.pad(data_dev, ((0, pad), (0, 0)))
-
-        @jax.jit
-        def infer(params, batch_stats):
-            vars_in = {"params": params,
-                       **({"batch_stats": batch_stats} if has_bn else {})}
-
-            def body(_, x):
-                return None, model.apply(vars_in, x[:, :-1], train=False
-                                         ).squeeze(-1)
-
-            _, logits = jax.lax.scan(
-                body, None, padded.reshape(m_steps, bs, -1))
-            return logits.reshape(-1)[:m]
-
-        return infer
+        batches = jnp.pad(data_dev, ((0, pad), (0, 0))).reshape(m_steps, bs, -1)
+        return lambda params, batch_stats: _infer_batches(
+            batches, params, batch_stats)[:m]
 
     infer_test = make_infer(test_dev)
 
@@ -295,7 +296,7 @@ def train_classifier(model: nn.Module, train_data, test_data, cfg: ClassifierCon
             perm = np.concatenate([perm, perm[: steps * bs - n]])
         key, sub = jax.random.split(key)
         params, batch_stats, opt_state, correct, loss = train_epoch(
-            params, batch_stats, opt_state,
+            train_dev, params, batch_stats, opt_state,
             jnp.asarray(perm, jnp.int32), sub,
         )
         test_logits = np.asarray(infer_test(params, batch_stats))
