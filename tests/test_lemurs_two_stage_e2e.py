@@ -132,6 +132,27 @@ def test_lemurs_two_stage_sample_us(tmp_path):
             matched += 1
     assert matched >= 1  # a class rename must not silently skip the guard
 
+    # round-5: the LEMURS generator export (advisor r4 #1 — the dict-family
+    # transform twins + per-family cond layout). The energy model
+    # conditions on [E,theta,phi] while the shape cond appends the label
+    # one-hot, so the artifact takes cond = [E,theta,phi,label] and
+    # composes [u | cond] on device.
+    from vit4hep_tpu.utils.serving import export_generator, load_sampler
+    import io
+
+    blob = export_generator(
+        exp_s.model, exp_s.state.params, exp_s.energy_model,
+        exp_s.energy_model_params, exp_s.energy_model_transforms,
+        exp_s.transforms, batch=8, energy_cond_width=3)
+    path = tmp_path / "lemurs_generator.v4h"
+    path.write_bytes(blob)
+    gen = load_sampler(str(path))
+    assert gen.header["cond_dim"] == 3 + NUM_CLASSES
+    assert gen.header["energy_cond_width"] == 3
+    out = gen(np.asarray(conds[:8, L:], np.float32), seed=3)
+    assert out.shape == (8, 1, L, W, H)
+    assert np.isfinite(np.asarray(out)).all()
+
     # the plot-branch full inverse: showers must come back physical (MeV)
     showers = np.transpose(np.asarray(samples)[:, 0], (0, 3, 2, 1))  # (B,H,W,L)
     samples_dict = {
