@@ -292,8 +292,9 @@ def train_classifier(model: nn.Module, train_data, test_data, cfg: ClassifierCon
     best = {"acc": -np.inf, "params": params, "batch_stats": batch_stats}
     for epoch in range(cfg.n_epochs):
         perm = rng_np.permutation(n)
-        if steps * bs > n:  # wrap the ragged tail to a full batch
-            perm = np.concatenate([perm, perm[: steps * bs - n]])
+        if steps * bs > n:  # wrap the ragged tail to a full batch (tile:
+            # tiny datasets can be smaller than one batch)
+            perm = np.tile(perm, -(-(steps * bs) // n))[: steps * bs]
         key, sub = jax.random.split(key)
         params, batch_stats, opt_state, correct, loss = train_epoch(
             train_dev, params, batch_stats, opt_state,
