@@ -83,8 +83,9 @@ ROUND1 = {
     "calogan_showers_s": 453.6,        # round-3 anchor (2026-08-19)
     # first measured round 5 (VERDICT r4 weak #1: no flow/energy train
     # number existed anywhere before); anchors = the round-5 first capture
-    "cinn_ds2_train_it_s": None,
-    "energy_ds2_train_it_s": None,
+    # (BENCH_MIDROUND_r05.json, 2026-08-21)
+    "cinn_ds2_train_it_s": 7.63,
+    "energy_ds2_train_it_s": 143.82,
 }
 
 # skip remaining secondary metrics once this much wall time is spent: a
