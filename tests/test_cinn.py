@@ -187,6 +187,20 @@ def test_fused_spline_block_matches_composed(rng):
     f_f = fused.apply(params, x, c, method="forward")
     np.testing.assert_allclose(f_f[0], f_c[0], atol=0)
 
+    # remat_spline (round 5): bit-identical forward AND gradients — remat
+    # only changes what is saved for the backward, not the math
+    remat = BinnedRQSCouplingBlock(remat_spline=True, **kw)
+
+    def loss(block, p):
+        y, ld = block.apply(p, x, c, method="forward")
+        return jnp.sum(y**2) + jnp.sum(ld)
+
+    l_c, g_c = jax.value_and_grad(lambda p: loss(composed, p))(params)
+    l_r, g_r = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    np.testing.assert_allclose(l_r, l_c, atol=0)
+    for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
 
 # ---------------------------------------------------------------------------
 # coupling blocks / flow

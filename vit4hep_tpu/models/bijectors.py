@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,6 +130,13 @@ class BinnedRQSCouplingBlock(nn.Module):
     # forward/likelihood direction always runs the composed differentiable
     # path; the kernel defines no VJP.
     fused_spline: bool = False
+    # remat the likelihood spline (constrain + rqs) in training: autodiff
+    # saves ~a dozen (B, D, K)-sized elementwise intermediates per coupling
+    # side (the round-5 cINN train roofline measured the spline vjp at ~22x
+    # its forward); jax.checkpoint keeps only (flat, theta) and recomputes
+    # the cheap elementwise forward inside the backward. Opt-in pending the
+    # on-chip A/B (tools/cinn_train_ab.py).
+    remat_spline: bool = False
 
     @property
     def n_params(self) -> int:
@@ -158,11 +166,16 @@ class BinnedRQSCouplingBlock(nn.Module):
                 self.domain_clamping,
             )
             return y.reshape(active.shape), logdet
-        params = rqs.binned_constrain(
-            theta, self.bins, tuple(self.min_bin_sizes), tuple(self.default_domain),
-            self.identity_tails, self.domain_clamping,
-        )
-        y, logdet = rqs.binned_rqs(flat, params, rev=rev)
+        def composed(flat, theta):
+            params = rqs.binned_constrain(
+                theta, self.bins, tuple(self.min_bin_sizes),
+                tuple(self.default_domain), self.identity_tails,
+                self.domain_clamping,
+            )
+            return rqs.binned_rqs(flat, params, rev=rev)
+
+        fn = jax.checkpoint(composed) if self.remat_spline else composed
+        y, logdet = fn(flat, theta)
         return y.reshape(active.shape), logdet
 
     def _run(self, x, c, rev):
